@@ -1,0 +1,128 @@
+"""Command-line renderer: scene file or preset config -> PNG/PPM.
+
+The reference has no CLI (argc != 1 is a usage error, main.cpp:53-56) and
+configures everything through compile-time defines + ImGui state; here a
+dataclass config + argparse CLI is the headless equivalent (SURVEY §5
+"config/flag system").
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time as _time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="srt-render",
+        description="TPU-native progressive path tracer")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--scene", help="scene JSON file (io.scene_json format)")
+    src.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5],
+                     help="built-in BASELINE config number")
+    p.add_argument("--out", default="out.png", help="output image (.png/.ppm)")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--samples", type=int, default=None, help="samples/pixel/step")
+    p.add_argument("--bounces", type=int, default=None)
+    p.add_argument("--steps", type=int, default=16,
+                   help="progressive accumulation steps")
+    p.add_argument("--show-normals", action="store_true",
+                   help="normals debug render (render.cl:407-410 analog)")
+    p.add_argument("--mesh-path", default=None,
+                   help="STL/OBJ file for mesh configs (4/5)")
+    p.add_argument("--skybox", default=None, help="equirect skybox image file")
+    p.add_argument("--time-seed", type=int, default=None,
+                   help="RNG time seed (default: deterministic counter)")
+    p.add_argument("--wall-clock-seed", action="store_true",
+                   help="seed from the ms clock like the reference app")
+    p.add_argument("--save-state", default=None,
+                   help="write accumulation checkpoint (.npz)")
+    p.add_argument("--load-state", default=None,
+                   help="resume accumulation checkpoint (.npz)")
+    p.add_argument("--metrics", action="store_true",
+                   help="print per-run throughput metrics JSON")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace into this directory")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from .engine import Renderer, RenderOptions
+    from .io.image import load_skybox, save_png, save_ppm
+    from .models.camera import Camera
+    from .utils.metrics import profiler_trace, ray_throughput
+
+    if args.scene:
+        from .io.scene_json import load_scene
+        scene, camera = load_scene(args.scene)
+        if camera is None:
+            camera = Camera()
+        options = RenderOptions()
+    else:
+        from .models.presets import CONFIGS
+        kwargs = {}
+        if args.config in (4, 5) and args.mesh_path:
+            kwargs["mesh_path"] = args.mesh_path
+        scene, camera, options = CONFIGS[args.config](**kwargs)
+
+    if args.skybox:
+        scene.skybox = load_skybox(args.skybox)
+
+    opt = dict(
+        width=args.width or options.width,
+        height=args.height or options.height,
+        num_samples=args.samples or options.num_samples,
+        num_bounces=args.bounces or options.num_bounces,
+        show_normals=args.show_normals,
+    )
+    options = RenderOptions(**opt)
+    r = Renderer(options, scene=scene)
+
+    if args.load_state:
+        data = np.load(args.load_state)
+        r.load_state_dict({"canvas": data["canvas"],
+                           "num_steps": int(data["num_steps"])})
+
+    t0 = _time.perf_counter()
+    with profiler_trace(args.profile_dir):
+        for i in range(args.steps):
+            if args.wall_clock_seed:
+                t = int(_time.time() * 1000) & 0xFFFFFFFF or 1
+            elif args.time_seed is not None:
+                t = args.time_seed + i
+            else:
+                t = None
+            r.step(camera, time=t)
+        img = r.image()
+    dt = _time.perf_counter() - t0
+
+    if args.out.lower().endswith((".ppm", ".pnm")):
+        save_ppm(args.out, img)
+    else:
+        save_png(args.out, img)
+
+    if args.save_state:
+        st = r.state_dict()
+        np.savez_compressed(args.save_state, canvas=st["canvas"],
+                            num_steps=st["num_steps"])
+
+    if args.metrics:
+        m = ray_throughput(options.width, options.height,
+                           options.num_samples * args.steps,
+                           options.num_bounces, dt)
+        m["total_seconds"] = dt
+        m["steps"] = args.steps
+        print(json.dumps(m))
+    print(f"wrote {args.out} ({r.num_steps} accumulated steps)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,157 @@
+"""The render engine: progressive accumulation state machine.
+
+This is the TPU-native counterpart of ``class Tracer`` (src/tracer.cpp,
+include/tracer.hpp): it owns the jitted render step (compiled once per
+static shape configuration — the analog of the one-time OpenCL program
+build, tracer.cpp:21-26), the device-resident scene pytree, and the
+persistent ``(canvas, num_steps)`` accumulation state that reproduces the
+reference's ``time_not_moved`` progressive-rendering contract
+(main.cpp:277-348): any scene/camera change resets the canvas, every still
+step accumulates one more sample pass, and the displayed image is the
+tonemapped mean of all passes since the last change.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time as _time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.camera import Camera
+from .models.scene import Scene
+from .ops.tonemap import tonemap_u8
+from .ops.trace import make_render_step
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Static render configuration (the jit cache key).
+
+    Defaults mirror the reference app: 960x540, 2 samples, 10 bounces
+    (main.cpp:42-46,116-117)."""
+    width: int = 960
+    height: int = 540
+    num_samples: int = 2
+    num_bounces: int = 10
+    show_normals: bool = False
+    tri_chunk: int = 256
+
+
+class Renderer:
+    """Progressive path tracer with persistent device-side state."""
+
+    def __init__(self, options: RenderOptions = RenderOptions(),
+                 scene: Optional[Scene] = None):
+        self.options = options
+        self._step_fn = make_render_step(
+            options.width, options.height, options.num_samples,
+            options.num_bounces, show_normals=options.show_normals,
+            tri_chunk=options.tri_chunk,
+        )
+        self._device_scene = None
+        self._canvas = None
+        self.num_steps = 0
+        self._time_base = 1  # deterministic unless caller passes wall time
+        if scene is not None:
+            self.update_scene(scene)
+        self.clear_canvas()
+
+    # -- scene / state management ----------------------------------------
+    def update_scene(self, scene: Scene) -> None:
+        """Re-sync the whole scene to the device (Tracer::update_scene,
+        tracer.cpp:70-96: full re-upload on any change)."""
+        self._device_scene = scene.build()
+
+    def set_device_scene(self, device_scene) -> None:
+        self._device_scene = device_scene
+
+    @property
+    def device_scene(self):
+        return self._device_scene
+
+    def clear_canvas(self) -> None:
+        """Reset accumulation (Tracer::clear_canvas, tracer.cpp:98-101)."""
+        o = self.options
+        self._canvas = jnp.zeros((o.height, o.width, 3), jnp.float32)
+        self.num_steps = 0
+
+    @property
+    def canvas(self) -> jnp.ndarray:
+        return self._canvas
+
+    # -- rendering --------------------------------------------------------
+    def step(self, camera: Camera, time: Optional[int] = None) -> None:
+        """One progressive sample pass accumulated into the canvas.
+
+        `time` seeds the per-step RNG streams (render.cl:496 uses the ms
+        clock); by default a deterministic counter is used so renders are
+        reproducible.  time must be nonzero (time=0 collapses every seed).
+        """
+        if self._device_scene is None:
+            raise RuntimeError("no scene: call update_scene() first")
+        if time is None:
+            time = self._time_base + self.num_steps
+        o = self.options
+        cam_state = camera.state(o.width / o.height)
+        self._canvas = self._step_fn(self._device_scene, cam_state,
+                                     self._canvas, jnp.uint32(time))
+        self.num_steps += 1
+
+    def render(self, camera: Camera, num_steps: int = 1,
+               reset: bool = False) -> np.ndarray:
+        """Accumulate `num_steps` passes and return the tonemapped u8 image."""
+        if reset:
+            self.clear_canvas()
+        for _ in range(num_steps):
+            self.step(camera)
+        return self.image()
+
+    def image(self) -> np.ndarray:
+        """Tonemapped (H, W, 3) u8 RGB of the current accumulation state
+        (``__kernel average``, render.cl:525-535)."""
+        steps = max(self.num_steps, 1)
+        return np.asarray(tonemap_u8(self._canvas, steps))
+
+    # -- checkpoint / resume ---------------------------------------------
+    def state_dict(self) -> dict:
+        """Serializable render state: canvas + step count.  Together with a
+        scene file this is a full checkpoint (a capability the reference
+        lists as future work, README.md:43)."""
+        return {
+            "canvas": np.asarray(self._canvas),
+            "num_steps": self.num_steps,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        canvas = np.asarray(state["canvas"], np.float32)
+        o = self.options
+        if canvas.shape != (o.height, o.width, 3):
+            raise ValueError(
+                f"canvas shape {canvas.shape} != {(o.height, o.width, 3)}")
+        self._canvas = jnp.asarray(canvas)
+        self.num_steps = int(state["num_steps"])
+
+    # -- instrumentation --------------------------------------------------
+    def benchmark_step(self, camera: Camera, iters: int = 10,
+                       warmup: int = 2) -> dict:
+        """Steady-state per-pass timing + derived throughput
+        (the frame-time window analog, interface.cpp:486-510)."""
+        o = self.options
+        for _ in range(warmup):
+            self.step(camera)
+        jax.block_until_ready(self._canvas)
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            self.step(camera)
+        jax.block_until_ready(self._canvas)
+        dt = (_time.perf_counter() - t0) / iters
+        rays = o.width * o.height * o.num_samples * o.num_bounces
+        return {
+            "seconds_per_step": dt,
+            "steps_per_second": 1.0 / dt,
+            "mrays_per_second": rays / dt / 1e6,
+            "spp_per_second": o.num_samples / dt,
+        }

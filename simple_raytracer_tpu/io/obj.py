@@ -1,0 +1,85 @@
+"""Wavefront OBJ loader (the reference's subset).
+
+Mirrors ``load_obj_model`` (src/parser.cpp:55-135): supports ``v``, ``vn``
+and triangular ``f`` statements with ``v``, ``v/vt``, ``v//vn`` and
+``v/vt/vn`` index forms; ``s``, comments, materials and textures are
+ignored; normals are normalized on load; indices are 1-based with negative
+indices referencing from the end of the list.  Two deliberate fixes over
+the reference: its negative-index formula (``len - index + 1``,
+parser.cpp:117-120) indexes out of bounds (we use the standard
+``len + index``), and faces without normal indices (uninitialized reads in
+the reference) fall back to the flat face normal.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..models.shapes import TrianglePool
+
+
+def _parse_index_group(token: str) -> Tuple[int, Optional[int]]:
+    """'7', '7/2', '7//3', '7/2/3' -> (vertex_index, normal_index|None)."""
+    parts = token.split("/")
+    v = int(parts[0])
+    n = None
+    if len(parts) == 3 and parts[2]:
+        n = int(parts[2])
+    return v, n
+
+
+def _adjust(index: int, length: int) -> int:
+    """1-based -> 0-based; negative indices count from the end."""
+    return length + index if index < 0 else index - 1
+
+
+def load_obj_model(path: os.PathLike,
+                   pool: TrianglePool) -> Optional[Tuple[int, int]]:
+    """Append the mesh to `pool`; returns the (start, count) span, or None
+    if the file cannot be opened."""
+    try:
+        with open(path, "r") as f:
+            lines = f.readlines()
+    except OSError:
+        return None
+
+    vertices: List[Tuple[float, float, float]] = []
+    normals: List[np.ndarray] = []
+    faces: List[List[Tuple[int, Optional[int]]]] = []
+
+    for line in lines:
+        parts = line.split()
+        if not parts or parts[0].startswith("#"):
+            continue
+        mode = parts[0]
+        if mode == "v":
+            vertices.append((float(parts[1]), float(parts[2]), float(parts[3])))
+        elif mode == "vn":
+            n = np.array([float(parts[1]), float(parts[2]), float(parts[3])],
+                         np.float32)
+            normals.append(n / np.linalg.norm(n))
+        elif mode == "f":
+            faces.append([_parse_index_group(t) for t in parts[1:4]])
+        # 's', 'vt', 'usemtl', ... ignored (parser.cpp:121-123)
+
+    varr = np.asarray(vertices, np.float32).reshape(-1, 3)
+    pos = np.zeros((len(faces), 3, 3), np.float32)
+    nrm = np.zeros((len(faces), 3, 3), np.float32)
+    for fi, face in enumerate(faces):
+        for ci, (vi, ni) in enumerate(face):
+            pos[fi, ci] = varr[_adjust(vi, len(vertices))]
+            if ni is not None:
+                nrm[fi, ci] = normals[_adjust(ni, len(normals))]
+        if any(ni is None for _, ni in face):
+            e1 = pos[fi, 1] - pos[fi, 0]
+            e2 = pos[fi, 2] - pos[fi, 0]
+            n = np.cross(e1, e2)
+            l = np.linalg.norm(n)
+            flat = n / l if l > 0 else n
+            for ci, (_, ni) in enumerate(face):
+                if ni is None:
+                    nrm[fi, ci] = flat
+
+    return pool.append(pos, nrm)

@@ -1,0 +1,225 @@
+"""Editable host scene + compilation to the device SoA pytree.
+
+The host ``Scene`` plays the role of main.cpp's shape/triangle/material
+vectors (main.cpp:95-126) plus the SceneData sky block; ``Scene.build()``
+plays the role of ``Tracer::update_scene`` (tracer.cpp:70-96) — except that
+instead of a raw struct upload it produces a padded, pre-transformed
+``DeviceScene`` pytree that is passed as an argument to the jitted render
+step.  Padding to bucket capacities keeps jit cache hits across shape
+add/remove (the moral equivalent of grow-only realloc, tracer.cpp:5-9).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.scene_types import (DeviceScene, MaterialsSoA, PlanesSoA,
+                               SkyParams, SpheresSoA, TrianglesSoA)
+from ..ops.sky import procedural_skybox
+from ..ops.vec import Vec3
+from .materials import Material, MaterialSet, from_hex
+from .shapes import Box, Model, Plane, Sphere, TrianglePool
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    """Smallest power of two >= max(n, minimum)."""
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+@dataclasses.dataclass
+class SkySettings:
+    """Defaults mirror main.cpp:120-126."""
+    sun_focus: float = 25.0
+    sun_intensity: float = 1.0
+    sun_color: Tuple[float, float, float] = from_hex(0xFFFFD3)
+    sun_direction: Tuple[float, float, float] = (
+        0.7071067811865475, -0.7071067811865475, 0.0)  # normalize(1,-1,0)
+    horizon_color: Tuple[float, float, float] = from_hex(0x374F62)
+    zenith_color: Tuple[float, float, float] = from_hex(0x11334A)
+    ground_color: Tuple[float, float, float] = from_hex(0x777777)
+
+
+def _vec3_table(a: np.ndarray) -> Vec3:
+    a = np.asarray(a, np.float32).reshape(-1, 3)
+    return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+
+def _vec3_scalar(v) -> Vec3:
+    return Vec3(jnp.float32(v[0]), jnp.float32(v[1]), jnp.float32(v[2]))
+
+
+class Scene:
+    """Mutable scene: primitive lists + shared triangle pool + materials."""
+
+    def __init__(self, default_material: bool = True):
+        self.spheres: List[Sphere] = []
+        self.planes: List[Plane] = []
+        self.models: List[Model] = []
+        self.pool = TrianglePool()
+        self.materials = MaterialSet()
+        self.sky = SkySettings()
+        self.skybox: Optional[np.ndarray] = None  # (H, W, 3) f32, bottom-up
+        self._box_span: Optional[Tuple[int, int]] = None
+        if default_material:
+            # default scene has one white diffuse "Material0" (main.cpp:100)
+            self.materials.push(Material(), "Material0")
+
+    # -- shape building ---------------------------------------------------
+    @property
+    def all_shapes(self):
+        return [*self.spheres, *self.planes, *self.models]
+
+    def add_sphere(self, position, radius, material: int = 0) -> Sphere:
+        s = Sphere(material=material, position=tuple(position), radius=float(radius))
+        self.spheres.append(s)
+        return s
+
+    def add_plane(self, position, normal, material: int = 0) -> Plane:
+        p = Plane(material=material, position=tuple(position), normal=tuple(normal))
+        self.planes.append(p)
+        return p
+
+    def add_model(self, span: Tuple[int, int], material: int = 0,
+                  transform: Optional[np.ndarray] = None) -> Model:
+        start, count = span
+        m = Model(material=material, triangle_index=start, num_triangles=count)
+        if transform is not None:
+            m.transform = np.asarray(transform, np.float32)
+        self.models.append(m)
+        return m
+
+    def add_box(self, position, size=(2.0, 2.0, 2.0), material: int = 0) -> Model:
+        """Box instance; the 12 shared triangles are appended to the pool on
+        first use (Box::create_triangle is called once at startup in the
+        reference, main.cpp:102)."""
+        if self._box_span is None:
+            self._box_span = Box.create_triangles(self.pool)
+        m = Box.model(material, self._box_span, tuple(position), tuple(size))
+        self.models.append(m)
+        return m
+
+    def add_material(self, material: Material, name: Optional[str] = None) -> int:
+        return self.materials.push(material, name)
+
+    # -- device compilation ----------------------------------------------
+    def build(self) -> DeviceScene:
+        return DeviceScene(
+            spheres=self._build_spheres(),
+            planes=self._build_planes(),
+            triangles=self._build_triangles(),
+            materials=self._build_materials(),
+            sky=self._build_sky(),
+            skybox=self._build_skybox(),
+        )
+
+    def _build_spheres(self) -> SpheresSoA:
+        n = len(self.spheres)
+        cap = _bucket(n)
+        center = np.zeros((cap, 3), np.float32)
+        radius = np.ones((cap,), np.float32)
+        material = np.zeros((cap,), np.int32)
+        active = np.zeros((cap,), bool)
+        for i, s in enumerate(self.spheres):
+            center[i] = s.position
+            radius[i] = s.radius
+            material[i] = s.material
+            active[i] = True
+        return SpheresSoA(center=_vec3_table(center), radius=jnp.asarray(radius),
+                          material=jnp.asarray(material), active=jnp.asarray(active))
+
+    def _build_planes(self) -> PlanesSoA:
+        n = len(self.planes)
+        cap = _bucket(n)
+        position = np.zeros((cap, 3), np.float32)
+        normal = np.zeros((cap, 3), np.float32)
+        normal[:, 1] = 1.0
+        material = np.zeros((cap,), np.int32)
+        active = np.zeros((cap,), bool)
+        for i, p in enumerate(self.planes):
+            position[i] = p.position
+            normal[i] = p.normal
+            material[i] = p.material
+            active[i] = True
+        return PlanesSoA(position=_vec3_table(position), normal=_vec3_table(normal),
+                         material=jnp.asarray(material), active=jnp.asarray(active))
+
+    def _build_triangles(self) -> TrianglesSoA:
+        """Flatten every model instance to world space (SURVEY C11: same
+        span-into-pool instancing semantics, transform applied host-side
+        once instead of per ray)."""
+        pos_list, nrm_list, mat_list = [], [], []
+        for m in self.models:
+            wpos, wnrm = m.world_triangles(self.pool)
+            pos_list.append(wpos)
+            nrm_list.append(wnrm)
+            mat_list.append(np.full((wpos.shape[0],), m.material, np.int32))
+        if pos_list:
+            pos = np.concatenate(pos_list)
+            nrm = np.concatenate(nrm_list)
+            mat = np.concatenate(mat_list)
+        else:
+            pos = np.zeros((0, 3, 3), np.float32)
+            nrm = np.zeros((0, 3, 3), np.float32)
+            mat = np.zeros((0,), np.int32)
+        n = pos.shape[0]
+        cap = _bucket(n)
+        pad = cap - n
+        # degenerate padding triangles (all-zero verts) are also masked out
+        pos = np.concatenate([pos, np.zeros((pad, 3, 3), np.float32)])
+        nrm = np.concatenate([nrm, np.zeros((pad, 3, 3), np.float32)])
+        mat = np.concatenate([mat, np.zeros((pad,), np.int32)])
+        active = np.arange(cap) < n
+        return TrianglesSoA(
+            v0=_vec3_table(pos[:, 0]), v1=_vec3_table(pos[:, 1]),
+            v2=_vec3_table(pos[:, 2]),
+            n0=_vec3_table(nrm[:, 0]), n1=_vec3_table(nrm[:, 1]),
+            n2=_vec3_table(nrm[:, 2]),
+            material=jnp.asarray(mat), active=jnp.asarray(active),
+        )
+
+    def _build_materials(self) -> MaterialsSoA:
+        mats = self.materials.materials or [Material()]
+        n = len(mats)
+        cap = _bucket(n, minimum=4)
+        f = lambda attr, fill: np.array(
+            [getattr(m, attr) for m in mats] + [fill] * (cap - n), np.float32)
+        c = lambda attr: np.array(
+            [getattr(m, attr) for m in mats] + [(0, 0, 0)] * (cap - n), np.float32)
+        return MaterialsSoA(
+            smoothness=jnp.asarray(f("smoothness", 0.0)),
+            metallic=jnp.asarray(f("metallic", 0.0)),
+            specular=jnp.asarray(f("specular", 0.0)),
+            emission_strength=jnp.asarray(f("emission_strength", 0.0)),
+            transmittance=jnp.asarray(f("transmittance", 0.0)),
+            refraction_index=jnp.asarray(f("refraction_index", 1.0)),
+            color=_vec3_table(c("color")),
+            emission=_vec3_table(c("emission")),
+        )
+
+    def _build_sky(self) -> SkyParams:
+        s = self.sky
+        return SkyParams(
+            sun_focus=jnp.float32(s.sun_focus),
+            sun_intensity=jnp.float32(s.sun_intensity),
+            sun_color=_vec3_scalar(s.sun_color),
+            sun_direction=_vec3_scalar(s.sun_direction),
+            horizon_color=_vec3_scalar(s.horizon_color),
+            zenith_color=_vec3_scalar(s.zenith_color),
+            ground_color=_vec3_scalar(s.ground_color),
+        )
+
+    def _build_skybox(self) -> Vec3:
+        if self.skybox is None:
+            s = self.sky
+            return procedural_skybox(horizon=s.horizon_color,
+                                     zenith=s.zenith_color,
+                                     ground=s.ground_color)
+        img = np.asarray(self.skybox, np.float32)
+        return Vec3(jnp.asarray(img[..., 0]), jnp.asarray(img[..., 1]),
+                    jnp.asarray(img[..., 2]))

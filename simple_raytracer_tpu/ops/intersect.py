@@ -1,0 +1,241 @@
+"""Vectorized primitive intersection and nearest-hit resolution.
+
+The reference's ``closest_intersection`` (render.cl:293-378) is a per-ray
+linear scan with a type switch.  TPU-native form: intersect every ray against
+every primitive of each type as dense (R, N) batches, reduce with a running
+(t, index) argmin, then gather shading data for the single winner per ray.
+The primitive formulas are reproduced exactly (degenerate cases included) so
+converged images match the reference at the RMSE level:
+
+  - sphere quadratic       render.cl:180-204
+  - plane                  render.cl:206-221
+  - Moller-Trumbore        render.cl:243-275
+  - barycentric weights    render.cl:223-241 (incl. the (w2,w0,w1) rotation)
+  - front-face flip        render.cl:372-375
+
+The AABB early-out for models (render.cl:316-331) is a per-ray perf trick
+with no effect on results (the box bounds its triangles); the dense batch
+path simply tests all triangles, and the Pallas kernel / BVH path recovers
+the culling benefit.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .vec import Vec3, dot, cross, normalize, where as vwhere, gather as vgather
+from .scene_types import DeviceScene, SpheresSoA, PlanesSoA, TrianglesSoA
+
+_INF = jnp.float32(jnp.inf)
+
+
+class Hit(NamedTuple):
+    """Resolved nearest intersection for each ray (all (R,) arrays)."""
+    hit: jnp.ndarray        # bool: any intersection
+    t: jnp.ndarray          # f32: distance (inf on miss)
+    position: Vec3
+    normal: Vec3            # unit, flipped toward the ray (render.cl:373-374)
+    front: jnp.ndarray      # bool: hit the outside (pre-flip orientation)
+    material: jnp.ndarray   # i32 material index (garbage on miss)
+
+
+def _bcast_table(t: jnp.ndarray) -> jnp.ndarray:
+    return t[None, :]
+
+
+def _bcast_rays(r: jnp.ndarray) -> jnp.ndarray:
+    return r[:, None]
+
+
+def intersect_spheres(o: Vec3, d: Vec3, s: SpheresSoA):
+    """(R,) rays x (Ns,) spheres -> per-ray (t_best, idx_best).
+
+    Mirrors intersect_sphere (render.cl:180-204): b = dot(c-o, d),
+    c = |c-o|^2 - r^2, disc = b^2 - c; t = b - sqrt(disc), falling back to
+    b + sqrt(disc) when negative; miss if still negative (t == 0 is a hit)."""
+    rc = Vec3(
+        _bcast_table(s.center.x) - _bcast_rays(o.x),
+        _bcast_table(s.center.y) - _bcast_rays(o.y),
+        _bcast_table(s.center.z) - _bcast_rays(o.z),
+    )
+    db = Vec3(_bcast_rays(d.x), _bcast_rays(d.y), _bcast_rays(d.z))
+    b = dot(rc, db)
+    c = dot(rc, rc) - _bcast_table(s.radius * s.radius)
+    disc = b * b - c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = b - sq
+    t1 = b + sq
+    t = jnp.where(t0 < 0.0, t1, t0)
+    valid = (disc >= 0.0) & (t >= 0.0) & _bcast_table(s.active)
+    t = jnp.where(valid, t, _INF)
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    t_best = jnp.min(t, axis=1)
+    return t_best, idx
+
+
+def intersect_planes(o: Vec3, d: Vec3, p: PlanesSoA):
+    """Mirrors intersect_plane (render.cl:206-221): denom == 0 exact-zero
+    test, backwards (t < 0) rejected, t == 0 accepted."""
+    n = Vec3(_bcast_table(p.normal.x), _bcast_table(p.normal.y), _bcast_table(p.normal.z))
+    db = Vec3(_bcast_rays(d.x), _bcast_rays(d.y), _bcast_rays(d.z))
+    denom = dot(n, db)
+    po = Vec3(
+        _bcast_table(p.position.x) - _bcast_rays(o.x),
+        _bcast_table(p.position.y) - _bcast_rays(o.y),
+        _bcast_table(p.position.z) - _bcast_rays(o.z),
+    )
+    t = dot(n, po) / denom
+    valid = (denom != 0.0) & (t >= 0.0) & _bcast_table(p.active)
+    t = jnp.where(valid, t, _INF)
+    idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+    t_best = jnp.min(t, axis=1)
+    return t_best, idx
+
+
+def _tri_chunk(o: Vec3, d: Vec3, v0: Vec3, e1: Vec3, e2: Vec3,
+               active: jnp.ndarray):
+    """Moller-Trumbore for a (R,) x (Tc,) block. Returns (t, valid) (R,Tc).
+
+    Mirrors intersect_triangle (render.cl:243-275): a == 0 exact test,
+    u in [0,1], v >= 0, u+v <= 1, t > 0 strictly."""
+    db = Vec3(_bcast_rays(d.x), _bcast_rays(d.y), _bcast_rays(d.z))
+    e2b = Vec3(_bcast_table(e2.x), _bcast_table(e2.y), _bcast_table(e2.z))
+    h = cross(db, e2b)
+    a = _bcast_table(e1.x) * h.x + _bcast_table(e1.y) * h.y + _bcast_table(e1.z) * h.z
+    f = 1.0 / a
+    s = Vec3(
+        _bcast_rays(o.x) - _bcast_table(v0.x),
+        _bcast_rays(o.y) - _bcast_table(v0.y),
+        _bcast_rays(o.z) - _bcast_table(v0.z),
+    )
+    u = f * dot(s, h)
+    e1b = Vec3(_bcast_table(e1.x), _bcast_table(e1.y), _bcast_table(e1.z))
+    q = cross(s, e1b)
+    v = f * dot(db, q)
+    t = f * (_bcast_table(e2.x) * q.x + _bcast_table(e2.y) * q.y + _bcast_table(e2.z) * q.z)
+    valid = (
+        (a != 0.0)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 0.0)
+        & _bcast_table(active)
+    )
+    return t, valid
+
+
+def intersect_triangles(o: Vec3, d: Vec3, tr: TrianglesSoA, chunk: int = 256):
+    """(R,) rays x (Nt,) triangles -> per-ray (t_best, idx_best).
+
+    Streams the triangle list in fixed-size chunks through a fori_loop with a
+    running (t, argmin) carry — the ray x triangle analog of blockwise
+    attention (SURVEY §5), keeping intermediates at (R, chunk)."""
+    n_rays = o.x.shape[0]
+    n_tris = tr.v0.x.shape[0]
+    e1 = tr.v1 - tr.v0
+    e2 = tr.v2 - tr.v0
+
+    if n_tris <= chunk:
+        t, valid = _tri_chunk(o, d, tr.v0, e1, e2, tr.active)
+        t = jnp.where(valid, t, _INF)
+        idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+        return jnp.min(t, axis=1), idx
+
+    # pad triangle axis to a multiple of chunk with inactive slots
+    pad = (-n_tris) % chunk
+    def padv(v: Vec3) -> Vec3:
+        return Vec3(*(jnp.pad(c, (0, pad)) for c in v))
+    v0p, e1p, e2p = padv(tr.v0), padv(e1), padv(e2)
+    act = jnp.pad(tr.active, (0, pad))
+    n_chunks = (n_tris + pad) // chunk
+
+    def body(i, carry):
+        t_best, i_best = carry
+        sl = lambda c: jax.lax.dynamic_slice_in_dim(c, i * chunk, chunk)
+        slv = lambda v: Vec3(sl(v.x), sl(v.y), sl(v.z))
+        t, valid = _tri_chunk(o, d, slv(v0p), slv(e1p), slv(e2p), sl(act))
+        t = jnp.where(valid, t, _INF)
+        local_idx = jnp.argmin(t, axis=1).astype(jnp.int32)
+        local_t = jnp.min(t, axis=1)
+        better = local_t < t_best
+        return (
+            jnp.where(better, local_t, t_best),
+            jnp.where(better, local_idx + i * chunk, i_best),
+        )
+
+    init = (jnp.full((n_rays,), _INF), jnp.zeros((n_rays,), jnp.int32))
+    t_best, i_best = jax.lax.fori_loop(0, n_chunks, body, init)
+    return t_best, i_best
+
+
+def barycentric_weights(v0: Vec3, v1: Vec3, v2: Vec3, p: Vec3):
+    """Mirrors barycentric_weights (render.cl:223-241) including the
+    (w2, w0, w1) result rotation.  Returns the weight triple (wx, wy, wz)
+    to pair with vertex normals (n0, n1, n2) in that order."""
+    a = v1 - v0
+    b = v2 - v0
+    c = p - v0
+    d00 = dot(a, a)
+    d01 = dot(a, b)
+    d11 = dot(b, b)
+    d20 = dot(c, a)
+    d21 = dot(c, b)
+    denom = d00 * d11 - d01 * d01
+    w0 = (d11 * d20 - d01 * d21) / denom
+    w1 = (d00 * d21 - d01 * d20) / denom
+    w2 = 1.0 - w0 - w1
+    return w2, w0, w1
+
+
+def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
+                tri_chunk: int = 256) -> Hit:
+    """Nearest hit across all primitive categories, with shading data.
+
+    Equivalent to closest_intersection (render.cl:293-378): strict `<`
+    keeps the earliest minimal t; across categories ties are resolved
+    sphere < plane < triangle (the reference's order is shape-list insertion
+    order; exact ties are measure-zero)."""
+    t_s, i_s = intersect_spheres(o, d, scene.spheres)
+    t_p, i_p = intersect_planes(o, d, scene.planes)
+    t_t, i_t = intersect_triangles(o, d, scene.triangles, chunk=tri_chunk)
+
+    t = jnp.minimum(jnp.minimum(t_s, t_p), t_t)
+    hit = jnp.isfinite(t)
+    is_s = t_s == t
+    is_p = (~is_s) & (t_p == t)
+
+    position = o + d * t
+
+    # sphere shading: n = (pos - center) / radius   (render.cl:311-312)
+    sc = vgather(scene.spheres.center, i_s)
+    sr = scene.spheres.radius[i_s]
+    n_sph = (position - sc) / sr
+
+    # plane shading: n = plane normal               (render.cl:360-362)
+    n_pln = vgather(scene.planes.normal, i_p)
+
+    # triangle shading: smooth barycentric normals  (render.cl:339-343)
+    tv0 = vgather(scene.triangles.v0, i_t)
+    tv1 = vgather(scene.triangles.v1, i_t)
+    tv2 = vgather(scene.triangles.v2, i_t)
+    wx, wy, wz = barycentric_weights(tv0, tv1, tv2, position)
+    n_tri = (vgather(scene.triangles.n0, i_t) * wx
+             + vgather(scene.triangles.n1, i_t) * wy
+             + vgather(scene.triangles.n2, i_t) * wz)
+    n_tri = normalize(n_tri)
+
+    normal = vwhere(is_s, n_sph, vwhere(is_p, n_pln, n_tri))
+    material = jnp.where(
+        is_s, scene.spheres.material[i_s],
+        jnp.where(is_p, scene.planes.material[i_p],
+                  scene.triangles.material[i_t]),
+    ).astype(jnp.int32)
+
+    # flip normal toward the ray (render.cl:372-375)
+    front = dot(normal, d) < 0.0
+    normal = normal * jnp.where(front, 1.0, -1.0)
+
+    return Hit(hit=hit, t=t, position=position, normal=normal,
+               front=front, material=material)

@@ -1,0 +1,87 @@
+"""Device-resident scene representation: padded SoA pytrees.
+
+The reference uploads AoS tagged-union ``Shape`` structs byte-for-byte
+(src/tracer.cpp:70-96, include/shape.hpp:78-111).  TPU-native layout is the
+opposite: one dense, padded structure-of-arrays per primitive type, so the
+intersection layer is branch-free ("intersect ALL spheres / planes /
+triangles, argmin the t's" — SURVEY C3).  ``active`` masks mark padding
+slots, the moral equivalent of the reference's grow-only buffer realloc
+(tracer.cpp:5-9) without recompiles.
+
+Model/mesh semantics: the reference stores object-space triangles in a shared
+pool and transforms them per-ray in the kernel (render.cl:324-331).  Here the
+host pre-transforms each model instance's triangles (and normals, rotation
+part only) into world space at scene build; the math is identical and runs
+once instead of per ray.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .vec import Vec3
+
+
+class SpheresSoA(NamedTuple):
+    """Mirrors Sphere (render.cl:29-32) across a padded (Ns,) axis."""
+    center: Vec3            # (Ns,)
+    radius: jnp.ndarray     # (Ns,) f32
+    material: jnp.ndarray   # (Ns,) i32
+    active: jnp.ndarray     # (Ns,) bool
+
+
+class PlanesSoA(NamedTuple):
+    """Mirrors Plane (render.cl:34-37) across a padded (Np,) axis."""
+    position: Vec3
+    normal: Vec3
+    material: jnp.ndarray
+    active: jnp.ndarray
+
+
+class TrianglesSoA(NamedTuple):
+    """World-space triangles (Nt,), flattened over all model instances.
+
+    Vertex positions and smooth-shading normals mirror Triangle/Vertex
+    (render.cl:39-53); ``material`` is inherited from the owning Shape."""
+    v0: Vec3
+    v1: Vec3
+    v2: Vec3
+    n0: Vec3
+    n1: Vec3
+    n2: Vec3
+    material: jnp.ndarray
+    active: jnp.ndarray
+
+
+class MaterialsSoA(NamedTuple):
+    """Mirrors Material (render.cl:17-27) across a padded (K,) axis."""
+    smoothness: jnp.ndarray
+    metallic: jnp.ndarray
+    specular: jnp.ndarray
+    emission_strength: jnp.ndarray
+    transmittance: jnp.ndarray
+    refraction_index: jnp.ndarray
+    color: Vec3
+    emission: Vec3
+
+
+class SkyParams(NamedTuple):
+    """Mirrors the environment part of SceneData (render.cl:94-105)."""
+    sun_focus: jnp.ndarray
+    sun_intensity: jnp.ndarray
+    sun_color: Vec3          # scalar components
+    sun_direction: Vec3      # scalar components, normalized
+    horizon_color: Vec3      # survive in SceneData though the gradient path
+    zenith_color: Vec3       # is commented out in the ref (render.cl:381-389)
+    ground_color: Vec3
+
+
+class DeviceScene(NamedTuple):
+    """Everything the jitted render step needs, as one pytree argument."""
+    spheres: SpheresSoA
+    planes: PlanesSoA
+    triangles: TrianglesSoA
+    materials: MaterialsSoA
+    sky: SkyParams
+    skybox: Vec3             # (Hs, Ws) per channel, f32, bottom-up (stbi flip)

@@ -1,0 +1,145 @@
+"""The path-trace core: fixed-depth masked bounce loop + progressive step.
+
+This is the TPU-native re-architecture of the reference megakernel
+(``__kernel render`` + ``trace``, render.cl:396-523).  Divergent per-ray
+control flow becomes a ``lax.scan`` over the bounce index carrying dense
+(R,) ray state with an alive mask — no breaks, only masked updates:
+
+  - emission added on every hit before the bounce decision (render.cl:413)
+  - last bounce adds emission only, no new ray (render.cl:415-416)
+  - miss: color += mask * sky, ray dies (render.cl:463-467)
+  - show_normals debug mode renders n*0.5+0.5 on first hit (render.cl:407-410)
+
+The whole (H, W, S) ray grid advances in lockstep; sample-major layout
+(ray index = pixel_id * S + sample) keeps the per-pixel reduction a cheap
+reshape + mean at the end (render.cl:520-522 divides by num_samples and
+accumulates into the canvas).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .vec import Vec3, where as vwhere
+from .scene_types import DeviceScene
+from .intersect import closest_hit
+from .bsdf import gather_materials, sample_material
+from .sky import sky_color
+from .camera import camera_rotation, generate_rays
+
+
+class CameraState(NamedTuple):
+    """Traced camera parameters — moving the camera never recompiles.
+
+    Mirrors Camera (helper.hpp:16-31) + the fov/aspect render options
+    (main.cpp:111-112, tracer.hpp:56-60)."""
+    position: Vec3       # scalar components
+    yaw: jnp.ndarray
+    pitch: jnp.ndarray
+    aspect_ratio: jnp.ndarray
+    fov_scale: jnp.ndarray
+
+
+def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
+               num_bounces: int, show_normals: bool = False,
+               tri_chunk: int = 256) -> Vec3:
+    """Trace the (R,) ray batch to completion; returns per-ray radiance."""
+    n = o.x.shape[0]
+    zeros = jnp.zeros((n,), jnp.float32)
+    ones = jnp.ones((n,), jnp.float32)
+    color = Vec3(zeros, zeros, zeros)
+    mask = Vec3(ones, ones, ones)
+    alive = jnp.ones((n,), bool)
+
+    # In show_normals mode every ray terminates on its first segment
+    # (render.cl:407-410 breaks on hit; the miss path also breaks).
+    effective_bounces = 1 if show_normals else num_bounces
+
+    def body(carry, i):
+        o, d, color, mask, seed, alive = carry
+        hit = closest_hit(scene, o, d, tri_chunk=tri_chunk)
+        h_alive = alive & hit.hit
+        m_alive = alive & (~hit.hit)
+
+        # miss -> sky (mask *= sky; color += mask, render.cl:464-465)
+        skyc = sky_color(d, scene.sky, scene.skybox)
+        color = vwhere(m_alive, color + mask * skyc, color)
+
+        if show_normals:
+            color = vwhere(h_alive, hit.normal * 0.5 + 0.5, color)
+            return (o, d, color, mask, seed, alive & jnp.zeros_like(alive)), None
+
+        mat = gather_materials(scene.materials, hit.material)
+        emission = mask * mat.emission * mat.emission_strength
+        color = vwhere(h_alive, color + emission, color)
+
+        is_last = i == jnp.int32(num_bounces - 1)
+        cont = h_alive & (~is_last)
+
+        ms = sample_material(hit.position, hit.normal, hit.front, d, mat, seed)
+        o = vwhere(cont, ms.origin, o)
+        d = vwhere(cont, ms.direction, d)
+        mask = vwhere(cont, mask * ms.mask_mul, mask)
+        seed = jnp.where(cont, ms.seed, seed)
+        return (o, d, color, mask, seed, cont), None
+
+    carry = (o, d, color, mask, seed, alive)
+    carry, _ = jax.lax.scan(body, carry, jnp.arange(effective_bounces))
+    return carry[2]
+
+
+def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
+                time: jnp.ndarray, *, width: int, height: int,
+                num_samples: int, num_bounces: int,
+                show_normals: bool = False, tri_chunk: int = 256,
+                row0=0, tile_height: int = None) -> jnp.ndarray:
+    """One progressive sample pass: trace S jittered samples per pixel and
+    accumulate the per-pixel mean into the canvas (render.cl:483-523).
+
+    canvas: (tile_height, W, 3) f32 running radiance sum (the full image
+    when row0/tile_height are defaulted; one device's horizontal band under
+    shard_map).  Returns the new canvas.
+    """
+    if tile_height is None:
+        tile_height = height
+    rot = camera_rotation(camera.yaw, camera.pitch)
+    o, d, seed = generate_rays(width, height, num_samples, time,
+                               camera.position, rot,
+                               camera.aspect_ratio, camera.fov_scale,
+                               row0=row0, tile_height=tile_height)
+    color = trace_rays(scene, o, d, seed, num_bounces,
+                       show_normals=show_normals, tri_chunk=tri_chunk)
+
+    inv_s = jnp.float32(1.0 / num_samples)
+
+    def per_pixel(c):
+        return c.reshape(tile_height * width, num_samples).sum(axis=1) * inv_s
+
+    frame = jnp.stack(
+        [per_pixel(color.x), per_pixel(color.y), per_pixel(color.z)],
+        axis=-1,
+    ).reshape(tile_height, width, 3)
+    return canvas + frame
+
+
+@functools.lru_cache(maxsize=64)
+def make_render_step(width: int, height: int, num_samples: int,
+                     num_bounces: int, show_normals: bool = False,
+                     tri_chunk: int = 256, donate_canvas: bool = True,
+                     jit: bool = True):
+    """Build the jitted progressive step fn: (scene, camera, canvas, time) ->
+    canvas.  Static shape config is baked in (the jit cache key), the moral
+    equivalent of the reference's one-time kernel build (tracer.cpp:21-26).
+    Memoized so renderers with identical configs share one compiled step."""
+    fn = functools.partial(
+        render_pass, width=width, height=height, num_samples=num_samples,
+        num_bounces=num_bounces, show_normals=show_normals,
+        tri_chunk=tri_chunk,
+    )
+    if not jit:
+        return fn
+    donate = (2,) if donate_canvas else ()
+    return jax.jit(fn, donate_argnums=donate)

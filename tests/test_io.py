@@ -1,0 +1,125 @@
+"""Asset I/O tests: STL/OBJ fixtures (incl. negative indices, v//vn forms),
+PPM round-trip, scene JSON round-trip."""
+import numpy as np
+
+from simple_raytracer_tpu.io.image import load_ppm, save_ppm
+from simple_raytracer_tpu.io.obj import load_obj_model
+from simple_raytracer_tpu.io.scene_json import load_scene, save_scene
+from simple_raytracer_tpu.io.stl import load_stl_model, save_stl
+from simple_raytracer_tpu.models import Camera, Material, Scene, TrianglePool
+
+
+def test_stl_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    pos = rng.normal(size=(7, 3, 3)).astype(np.float32)
+    path = tmp_path / "mesh.stl"
+    save_stl(path, pos)
+    pool = TrianglePool()
+    span = load_stl_model(path, pool)
+    assert span == (0, 7)
+    np.testing.assert_array_equal(pool.positions, pos)
+    # flat shading: all three vertex normals equal
+    np.testing.assert_array_equal(pool.normals[:, 0], pool.normals[:, 1])
+
+
+def test_stl_span_appends(tmp_path):
+    pos = np.zeros((3, 3, 3), np.float32)
+    path = tmp_path / "m.stl"
+    save_stl(path, pos)
+    pool = TrianglePool()
+    s1 = load_stl_model(path, pool)
+    s2 = load_stl_model(path, pool)
+    assert s1 == (0, 3) and s2 == (3, 3)  # shared-pool span semantics
+
+
+def test_stl_missing_file():
+    pool = TrianglePool()
+    assert load_stl_model("/nonexistent/x.stl", pool) is None
+
+
+OBJ_FIXTURE = """\
+# comment line
+v 0.0 0.0 0.0
+v 1.0 0.0 0.0
+v 0.0 1.0 0.0
+v 1.0 1.0 0.0
+vn 0.0 0.0 2.0
+vn 0.0 1.0 0.0
+s off
+f 1//1 2//1 3//1
+f -3 -2 -1
+f 2/9/2 4/9/2 3/9/2
+"""
+
+
+def test_obj_forms_and_negative_indices(tmp_path):
+    path = tmp_path / "m.obj"
+    path.write_text(OBJ_FIXTURE)
+    pool = TrianglePool()
+    span = load_obj_model(path, pool)
+    assert span == (0, 3)
+    # face 1: v//vn with normal 1 -> normalized (0,0,1)
+    np.testing.assert_allclose(pool.normals[0, 0], [0, 0, 1])
+    np.testing.assert_array_equal(pool.positions[0, 1], [1, 0, 0])
+    # face 2: negative indices -3,-2,-1 -> vertices 2,3,4 (0-based 1,2,3),
+    # no normals -> flat normal of that triangle
+    np.testing.assert_array_equal(pool.positions[1, 0], [1, 0, 0])
+    np.testing.assert_array_equal(pool.positions[1, 2], [1, 1, 0])
+    n = pool.normals[1, 0]
+    np.testing.assert_allclose(np.abs(n), [0, 0, 1], atol=1e-6)
+    # face 3: v/vt/vn form, normal 2
+    np.testing.assert_allclose(pool.normals[2, 0], [0, 1, 0])
+
+
+def test_obj_missing_file():
+    pool = TrianglePool()
+    assert load_obj_model("/nonexistent/x.obj", pool) is None
+
+
+def test_ppm_roundtrip(tmp_path):
+    img = np.random.default_rng(0).integers(0, 256, (12, 17, 3)).astype(np.uint8)
+    p = tmp_path / "out.ppm"
+    save_ppm(p, img)
+    back = load_ppm(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_scene_json_roundtrip(tmp_path):
+    sc = Scene()
+    m = sc.add_material(Material(color=(0.2, 0.3, 0.4), smoothness=0.5,
+                                 transmittance=1.0, refraction_index=1.5),
+                        "Glassy")
+    sc.add_sphere((1, 2, 3), 0.75, material=m)
+    sc.add_plane((0, -1, 0), (0, 1, 0))
+    sc.add_box((0, 0, -3), size=(1, 2, 3), material=m)
+    cam = Camera(position=(1, 2, 3), yaw=0.1, pitch=-0.2)
+    path = tmp_path / "scene.json"
+    save_scene(path, sc, cam)
+    sc2, cam2 = load_scene(path)
+
+    assert len(sc2.spheres) == 1 and len(sc2.planes) == 1
+    assert len(sc2.models) == 1
+    assert sc2.materials.names == sc.materials.names
+    assert sc2.materials[m].refraction_index == 1.5
+    np.testing.assert_allclose(sc2.models[0].transform, sc.models[0].transform)
+    np.testing.assert_array_equal(sc2.pool.positions, sc.pool.positions)
+    assert cam2.position == (1, 2, 3) and cam2.yaw == 0.1
+
+    # built device scenes must be identical
+    d1, d2 = sc.build(), sc2.build()
+    np.testing.assert_array_equal(np.asarray(d1.triangles.v0.x),
+                                  np.asarray(d2.triangles.v0.x))
+    np.testing.assert_array_equal(np.asarray(d1.spheres.radius),
+                                  np.asarray(d2.spheres.radius))
+
+
+def test_material_remove_reindex():
+    sc = Scene()
+    a = sc.add_material(Material(), "A")  # 1
+    b = sc.add_material(Material(), "B")  # 2
+    s1 = sc.add_sphere((0, 0, 0), 1, material=a)
+    s2 = sc.add_sphere((0, 0, 0), 1, material=b)
+    sc.materials.remove(a, sc.all_shapes)
+    assert s1.material == 0  # deleted -> fall back to 0 (interface.cpp:414)
+    assert s2.material == 1  # shifted down
+    assert sc.materials.names == ["Material0", "B"]

@@ -1,0 +1,63 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+SURVEY §4: the shard_map tile-split render must match the
+single-chip render of the same scene to ~1 ulp (pixel seeds depend only on global
+pixel id, render.cl:496)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from simple_raytracer_tpu import Camera, Renderer, RenderOptions, Scene
+from simple_raytracer_tpu.models.presets import config2_four_spheres
+from simple_raytracer_tpu.parallel.mesh import make_mesh
+from simple_raytracer_tpu.parallel.shard import (make_sharded_canvas,
+                                                 make_sharded_render_step)
+
+
+@pytest.fixture(scope="module")
+def devices():
+    d = jax.devices()
+    if len(d) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return d
+
+
+def test_sharded_bit_parity_with_single_chip(devices):
+    scene, camera, _ = config2_four_spheres(width=64, height=48)
+    opts = RenderOptions(width=64, height=48, num_samples=2, num_bounces=4)
+    # single chip
+    r = Renderer(opts, scene=scene)
+    r.step(camera, time=42)
+    single = np.asarray(r.canvas)
+
+    # 8-way sharded
+    mesh = make_mesh(devices)
+    step, mesh, _ = make_sharded_render_step(64, 48, 2, 4, mesh=mesh)
+    canvas = make_sharded_canvas(mesh, 48, 64)
+    cam_state = camera.state(64 / 48)
+    canvas = step(r.device_scene, cam_state, canvas, jnp.uint32(42))
+    sharded = np.asarray(canvas)
+
+    # identical math and RNG streams; tolerance only for compiler fp
+    # reassociation (fma/fusion) differences between the two programs
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_progressive_accumulation(devices):
+    scene, camera, _ = config2_four_spheres(width=32, height=32)
+    mesh = make_mesh(devices)
+    step, mesh, _ = make_sharded_render_step(32, 32, 1, 2, mesh=mesh)
+    canvas = make_sharded_canvas(mesh, 32, 32)
+    cam = camera.state(1.0)
+    ds = scene.build()
+    c1 = step(ds, cam, canvas, jnp.uint32(7))
+    snapshot = np.asarray(c1)
+    c2 = step(ds, cam, c1, jnp.uint32(7))  # same time -> exact doubling
+    np.testing.assert_allclose(np.asarray(c2), 2 * snapshot, rtol=1e-6)
+
+
+def test_mesh_height_divisibility():
+    mesh = make_mesh(jax.devices())
+    with pytest.raises(ValueError):
+        make_sharded_render_step(64, 50, 1, 2, mesh=mesh)
