@@ -14,6 +14,7 @@ integer taps clamped to the edge.  The skybox image is stored bottom-up
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .vec import Vec3, dot
@@ -22,10 +23,14 @@ from .scene_types import SkyParams
 _INV_PI = jnp.float32(1.0 / 3.14159274101257324)
 
 
-def sample_equirect(skybox: Vec3, u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
-    """Bilinear clamp-to-edge sample of a (H, W) per-channel image at
-    normalized (u, v) arrays of shape (R,)."""
-    h, w = skybox.x.shape
+# Skyboxes up to this many texels use the MXU two-hot-matmul sampler;
+# larger ones fall back to the XLA row-gather path (slower but any size).
+MATMUL_TEXEL_LIMIT = 128 * 256
+
+
+def _taps(h: int, w: int, u: jnp.ndarray, v: jnp.ndarray):
+    """OpenCL normalized-coordinate CL_FILTER_LINEAR tap setup: sample
+    centers at (u*W - 0.5, v*H - 0.5), integer taps clamped to edge."""
     fx = u * jnp.float32(w) - 0.5
     fy = v * jnp.float32(h) - 0.5
     x0 = jnp.floor(fx)
@@ -36,19 +41,63 @@ def sample_equirect(skybox: Vec3, u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
     x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
     y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    return x0i, x1i, y0i, y1i, ax, ay
 
-    flat = Vec3(skybox.x.reshape(-1), skybox.y.reshape(-1), skybox.z.reshape(-1))
-    i00 = y0i * w + x0i
-    i01 = y0i * w + x1i
-    i10 = y1i * w + x0i
-    i11 = y1i * w + x1i
 
-    def g(i):
-        return Vec3(flat.x[i], flat.y[i], flat.z[i])
+def sample_equirect_gather(skybox: Vec3, u: jnp.ndarray,
+                           v: jnp.ndarray) -> Vec3:
+    """Bilinear clamp-to-edge sample via 4 row gathers (any skybox size)."""
+    h, w = skybox.x.shape
+    x0i, x1i, y0i, y1i, ax, ay = _taps(h, w, u, v)
 
-    top = g(i00) * (1.0 - ax) + g(i01) * ax
-    bot = g(i10) * (1.0 - ax) + g(i11) * ax
+    rows = jnp.stack([skybox.x.reshape(-1), skybox.y.reshape(-1),
+                      skybox.z.reshape(-1)], axis=-1)  # (H*W, 3)
+
+    def g(yi, xi):
+        t = rows[yi * w + xi]
+        return Vec3(t[:, 0], t[:, 1], t[:, 2])
+
+    top = g(y0i, x0i) * (1.0 - ax) + g(y0i, x1i) * ax
+    bot = g(y1i, x0i) * (1.0 - ax) + g(y1i, x1i) * ax
     return top * (1.0 - ay) + bot * ay
+
+
+def _twohot(i0, i1, a, n):
+    """(R, n) weights: (1-a) at column i0 plus a at i1 (they sum correctly
+    to 1 when clamping collapses i0 == i1 at the edges)."""
+    iota = jnp.arange(n, dtype=jnp.int32)[None, :]
+    return (jnp.where(iota == i0[:, None], (1.0 - a)[:, None], 0.0)
+            + jnp.where(iota == i1[:, None], a[:, None], 0.0))
+
+
+def sample_equirect_matmul(skybox: Vec3, u: jnp.ndarray,
+                           v: jnp.ndarray) -> Vec3:
+    """Bilinear sample as a two-hot row matmul on the MXU + a per-ray
+    column mix — TPU has no texture units and XLA's dynamic gather is
+    element-serial, so the separable bilinear weights become dense
+    (sparse-by-construction) matrix products instead.  Precision HIGHEST
+    keeps the result f32-exact (TPU f32 matmuls default to bf16 passes)."""
+    h, w = skybox.x.shape
+    x0i, x1i, y0i, y1i, ax, ay = _taps(h, w, u, v)
+    img = jnp.stack([skybox.x, skybox.y, skybox.z], axis=-1)  # (H, W, 3)
+    wv = _twohot(y0i, y1i, ay, h)                             # (R, H)
+    wu = _twohot(x0i, x1i, ax, w)                             # (R, W)
+    tmp = jnp.dot(wv, img.reshape(h, w * 3),
+                  precision=jax.lax.Precision.HIGHEST)        # (R, W*3)
+    out = jnp.einsum('rwc,rw->rc', tmp.reshape(-1, w, 3), wu,
+                     precision=jax.lax.Precision.HIGHEST)
+    return Vec3(out[:, 0], out[:, 1], out[:, 2])
+
+
+def sample_equirect(skybox: Vec3, u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
+    """Bilinear clamp-to-edge sample of a (H, W) per-channel image at
+    normalized (u, v) arrays of shape (R,).  Picks the MXU matmul sampler
+    for small images, the gather sampler for large ones; both implement the
+    same OpenCL sampler semantics (tracer.cpp:48) exactly."""
+    h, w = skybox.x.shape
+    if h * w <= MATMUL_TEXEL_LIMIT:
+        return sample_equirect_matmul(skybox, u, v)
+    return sample_equirect_gather(skybox, u, v)
 
 
 def sky_color(d: Vec3, sky: SkyParams, skybox: Vec3) -> Vec3:
@@ -62,7 +111,7 @@ def sky_color(d: Vec3, sky: SkyParams, skybox: Vec3) -> Vec3:
     return sample_equirect(skybox, u, v) + sun
 
 
-def procedural_skybox(height: int = 256, width: int = 512,
+def procedural_skybox(height: int = 128, width: int = 256,
                       horizon=(0x37 / 255, 0x4F / 255, 0x62 / 255),
                       zenith=(0x11 / 255, 0x33 / 255, 0x4A / 255),
                       ground=(0x77 / 255, 0x77 / 255, 0x77 / 255)) -> Vec3:

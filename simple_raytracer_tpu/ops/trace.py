@@ -53,24 +53,31 @@ def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
     color = Vec3(zeros, zeros, zeros)
     mask = Vec3(ones, ones, ones)
     alive = jnp.ones((n,), bool)
+    # Deferred environment term: each ray misses AT MOST once (the miss path
+    # terminates it, render.cl:463-467), so instead of sampling the skybox
+    # inside every bounce we record (direction, throughput) at the miss and
+    # evaluate the expensive equirect sample ONCE after the scan.  Exactly
+    # equivalent to the reference's  mask *= sky; color += mask.
+    sky_mask = Vec3(zeros, zeros, zeros)
+    sky_dir = Vec3(zeros, zeros, ones)
 
     # In show_normals mode every ray terminates on its first segment
     # (render.cl:407-410 breaks on hit; the miss path also breaks).
     effective_bounces = 1 if show_normals else num_bounces
 
     def body(carry, i):
-        o, d, color, mask, seed, alive = carry
+        o, d, color, mask, seed, alive, sky_mask, sky_dir = carry
         hit = closest_hit(scene, o, d, tri_chunk=tri_chunk)
         h_alive = alive & hit.hit
         m_alive = alive & (~hit.hit)
 
-        # miss -> sky (mask *= sky; color += mask, render.cl:464-465)
-        skyc = sky_color(d, scene.sky, scene.skybox)
-        color = vwhere(m_alive, color + mask * skyc, color)
+        sky_mask = vwhere(m_alive, mask, sky_mask)
+        sky_dir = vwhere(m_alive, d, sky_dir)
 
         if show_normals:
             color = vwhere(h_alive, hit.normal * 0.5 + 0.5, color)
-            return (o, d, color, mask, seed, alive & jnp.zeros_like(alive)), None
+            dead = alive & jnp.zeros_like(alive)
+            return (o, d, color, mask, seed, dead, sky_mask, sky_dir), None
 
         mat = gather_materials(scene.materials, hit.material)
         emission = mask * mat.emission * mat.emission_strength
@@ -84,11 +91,13 @@ def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
         d = vwhere(cont, ms.direction, d)
         mask = vwhere(cont, mask * ms.mask_mul, mask)
         seed = jnp.where(cont, ms.seed, seed)
-        return (o, d, color, mask, seed, cont), None
+        return (o, d, color, mask, seed, cont, sky_mask, sky_dir), None
 
-    carry = (o, d, color, mask, seed, alive)
+    carry = (o, d, color, mask, seed, alive, sky_mask, sky_dir)
     carry, _ = jax.lax.scan(body, carry, jnp.arange(effective_bounces))
-    return carry[2]
+    color, sky_mask, sky_dir = carry[2], carry[6], carry[7]
+    skyc = sky_color(sky_dir, scene.sky, scene.skybox)
+    return color + sky_mask * skyc
 
 
 def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
