@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-path", default=None,
                    help="STL/OBJ file for mesh configs (4/5)")
     p.add_argument("--skybox", default=None, help="equirect skybox image file")
+    p.add_argument("--tri-backend", choices=["auto", "jnp", "pallas"],
+                   default="auto", help="triangle intersection backend")
     p.add_argument("--time-seed", type=int, default=None,
                    help="RNG time seed (default: deterministic counter)")
     p.add_argument("--wall-clock-seed", action="store_true",
@@ -80,6 +82,7 @@ def main(argv=None) -> int:
         num_samples=args.samples or options.num_samples,
         num_bounces=args.bounces or options.num_bounces,
         show_normals=args.show_normals,
+        tri_backend=args.tri_backend,
     )
     options = RenderOptions(**opt)
     r = Renderer(options, scene=scene)

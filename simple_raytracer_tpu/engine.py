@@ -38,6 +38,7 @@ class RenderOptions:
     num_bounces: int = 10
     show_normals: bool = False
     tri_chunk: int = 256
+    tri_backend: str = "auto"  # "auto" | "jnp" | "pallas" 
 
 
 class Renderer:
@@ -49,7 +50,7 @@ class Renderer:
         self._step_fn = make_render_step(
             options.width, options.height, options.num_samples,
             options.num_bounces, show_normals=options.show_normals,
-            tri_chunk=options.tri_chunk,
+            tri_chunk=options.tri_chunk, tri_backend=options.tri_backend,
         )
         self._device_scene = None
         self._canvas = None

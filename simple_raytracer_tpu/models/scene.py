@@ -175,12 +175,17 @@ class Scene:
         nrm = np.concatenate([nrm, np.zeros((pad, 3, 3), np.float32)])
         mat = np.concatenate([mat, np.zeros((pad,), np.int32)])
         active = np.arange(cap) < n
+        shade = np.zeros((cap, 20), np.float32)
+        shade[:, 0:9] = pos.reshape(cap, 9)
+        shade[:, 9:18] = nrm.reshape(cap, 9)
+        shade[:, 18] = mat.astype(np.float32)  # exact for < 2^24 materials
         return TrianglesSoA(
             v0=_vec3_table(pos[:, 0]), v1=_vec3_table(pos[:, 1]),
             v2=_vec3_table(pos[:, 2]),
             n0=_vec3_table(nrm[:, 0]), n1=_vec3_table(nrm[:, 1]),
             n2=_vec3_table(nrm[:, 2]),
             material=jnp.asarray(mat), active=jnp.asarray(active),
+            shade=jnp.asarray(shade),
         )
 
     def _build_materials(self) -> MaterialsSoA:

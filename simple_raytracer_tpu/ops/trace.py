@@ -45,7 +45,7 @@ class CameraState(NamedTuple):
 
 def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
                num_bounces: int, show_normals: bool = False,
-               tri_chunk: int = 256) -> Vec3:
+               tri_chunk: int = 256, tri_backend: str = "auto") -> Vec3:
     """Trace the (R,) ray batch to completion; returns per-ray radiance."""
     n = o.x.shape[0]
     zeros = jnp.zeros((n,), jnp.float32)
@@ -67,7 +67,8 @@ def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
 
     def body(carry, i):
         o, d, color, mask, seed, alive, sky_mask, sky_dir = carry
-        hit = closest_hit(scene, o, d, tri_chunk=tri_chunk)
+        hit = closest_hit(scene, o, d, tri_chunk=tri_chunk,
+                          tri_backend=tri_backend)
         h_alive = alive & hit.hit
         m_alive = alive & (~hit.hit)
 
@@ -104,7 +105,8 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
                 time: jnp.ndarray, *, width: int, height: int,
                 num_samples: int, num_bounces: int,
                 show_normals: bool = False, tri_chunk: int = 256,
-                row0=0, tile_height: int = None) -> jnp.ndarray:
+                tri_backend: str = "auto", row0=0,
+                tile_height: int = None) -> jnp.ndarray:
     """One progressive sample pass: trace S jittered samples per pixel and
     accumulate the per-pixel mean into the canvas (render.cl:483-523).
 
@@ -120,7 +122,8 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
                                camera.aspect_ratio, camera.fov_scale,
                                row0=row0, tile_height=tile_height)
     color = trace_rays(scene, o, d, seed, num_bounces,
-                       show_normals=show_normals, tri_chunk=tri_chunk)
+                       show_normals=show_normals, tri_chunk=tri_chunk,
+                       tri_backend=tri_backend)
 
     inv_s = jnp.float32(1.0 / num_samples)
 
@@ -137,8 +140,8 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
 @functools.lru_cache(maxsize=64)
 def make_render_step(width: int, height: int, num_samples: int,
                      num_bounces: int, show_normals: bool = False,
-                     tri_chunk: int = 256, donate_canvas: bool = True,
-                     jit: bool = True):
+                     tri_chunk: int = 256, tri_backend: str = "auto",
+                     donate_canvas: bool = True, jit: bool = True):
     """Build the jitted progressive step fn: (scene, camera, canvas, time) ->
     canvas.  Static shape config is baked in (the jit cache key), the moral
     equivalent of the reference's one-time kernel build (tracer.cpp:21-26).
@@ -146,7 +149,7 @@ def make_render_step(width: int, height: int, num_samples: int,
     fn = functools.partial(
         render_pass, width=width, height=height, num_samples=num_samples,
         num_bounces=num_bounces, show_normals=show_normals,
-        tri_chunk=tri_chunk,
+        tri_chunk=tri_chunk, tri_backend=tri_backend,
     )
     if not jit:
         return fn
