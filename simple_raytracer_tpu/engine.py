@@ -38,7 +38,11 @@ class RenderOptions:
     num_bounces: int = 10
     show_normals: bool = False
     tri_chunk: int = 256
-    tri_backend: str = "auto"  # "auto" | "jnp" | "pallas" 
+    tri_backend: str = "auto"  # "auto" | "jnp" | "pallas" | "clustered"
+    # screen-tile ray ordering (th, tw) for packet-coherent ray blocks;
+    # None = row-major; "auto" tiles 8x64 when the image divides evenly.
+    # A pure permutation: output is identical either way.
+    ray_tile: object = "auto" 
 
 
 class Renderer:
@@ -47,10 +51,15 @@ class Renderer:
     def __init__(self, options: RenderOptions = RenderOptions(),
                  scene: Optional[Scene] = None):
         self.options = options
+        ray_tile = options.ray_tile
+        if ray_tile == "auto":
+            ray_tile = ((8, 64) if options.height % 8 == 0
+                        and options.width % 64 == 0 else None)
         self._step_fn = make_render_step(
             options.width, options.height, options.num_samples,
             options.num_bounces, show_normals=options.show_normals,
             tri_chunk=options.tri_chunk, tri_backend=options.tri_backend,
+            ray_tile=ray_tile,
         )
         self._device_scene = None
         self._canvas = None

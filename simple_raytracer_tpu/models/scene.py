@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.scene_types import (DeviceScene, MaterialsSoA, PlanesSoA,
-                               SkyParams, SpheresSoA, TrianglesSoA)
+                               SkyParams, SpheresSoA, TriangleClustersSoA,
+                               TrianglesSoA)
 from ..ops.sky import procedural_skybox
 from ..ops.vec import Vec3
 from .materials import Material, MaterialSet, from_hex
@@ -56,6 +57,11 @@ def _vec3_scalar(v) -> Vec3:
 
 class Scene:
     """Mutable scene: primitive lists + shared triangle pool + materials."""
+
+    # meshes at or above this triangle count get BVH clusters baked for
+    # the packet-culling kernel; smaller ones stay dense
+    cluster_threshold: int = 512
+    cluster_size: int = 1024
 
     def __init__(self, default_material: bool = True):
         self.spheres: List[Sphere] = []
@@ -168,6 +174,32 @@ class Scene:
             nrm = np.zeros((0, 3, 3), np.float32)
             mat = np.zeros((0,), np.int32)
         n = pos.shape[0]
+
+        # Packet-culling acceleration for non-trivial meshes: BVH-reorder
+        # the triangles (clusters = contiguous subtree ranges) and bake the
+        # per-cluster kernel table.  Below the threshold the dense path is
+        # faster than any culling.
+        clusters_soa = None
+        if n >= self.cluster_threshold:
+            from .. import accel
+            cl = accel.build_clusters(pos, k=self.cluster_size)
+            perm = cl.order
+            pos, nrm, mat = pos[perm], nrm[perm], mat[perm]
+            e1 = pos[:, 1] - pos[:, 0]
+            e2 = pos[:, 2] - pos[:, 0]
+            slot = cl.slots                      # (C, K) into reordered tris
+            valid = slot >= 0
+            si = np.clip(slot, 0, n - 1)
+            c, k = slot.shape
+            table = np.zeros((16, c * k), np.float32)
+            table[0:3] = pos[si, 0].reshape(c * k, 3).T
+            table[3:6] = e1[si].reshape(c * k, 3).T
+            table[6:9] = e2[si].reshape(c * k, 3).T
+            table[9] = valid.reshape(-1).astype(np.float32)
+            table[10] = si.reshape(-1).astype(np.float32)  # global index
+            clusters_soa = TriangleClustersSoA(
+                aabb=jnp.asarray(cl.aabb), table=jnp.asarray(table))
+
         cap = _bucket(n)
         pad = cap - n
         # degenerate padding triangles (all-zero verts) are also masked out
@@ -185,7 +217,7 @@ class Scene:
             n0=_vec3_table(nrm[:, 0]), n1=_vec3_table(nrm[:, 1]),
             n2=_vec3_table(nrm[:, 2]),
             material=jnp.asarray(mat), active=jnp.asarray(active),
-            shade=jnp.asarray(shade),
+            shade=jnp.asarray(shade), clusters=clusters_soa,
         )
 
     def _build_materials(self) -> MaterialsSoA:

@@ -41,8 +41,29 @@ def rotate_vec(rot, v: Vec3) -> Vec3:
     )
 
 
+def tiled_pixel_order(width, band_height, tile):
+    """Row-major pixel indices of a (band_height, width) band enumerated in
+    tile-major order: all pixels of one (th, tw) screen tile are contiguous.
+    A pure permutation — used to make ray blocks spatially coherent for the
+    packet-culling kernel."""
+    th, tw = tile
+    if band_height % th or width % tw:
+        raise ValueError(f"tile {tile} must divide band {band_height}x{width}")
+    ids = jnp.arange(band_height * width, dtype=jnp.uint32)
+    ids = ids.reshape(band_height // th, th, width // tw, tw)
+    return ids.transpose(0, 2, 1, 3).reshape(-1)
+
+
+def untile_pixels(values, width, band_height, tile):
+    """Inverse of tiled_pixel_order for per-pixel arrays (P,) -> (P,)."""
+    th, tw = tile
+    v = values.reshape(band_height // th, width // tw, th, tw)
+    return v.transpose(0, 2, 1, 3).reshape(-1)
+
+
 def generate_rays(width, height, num_samples, time, camera_pos: Vec3, rot,
-                  aspect_ratio, fov_scale, row0=0, tile_height=None):
+                  aspect_ratio, fov_scale, row0=0, tile_height=None,
+                  tile=None):
     """Jittered primary rays for the (tile_height*W*num_samples,) ray grid.
 
     Mirrors the sample loop of ``__kernel render`` (render.cl:495-516):
@@ -60,8 +81,11 @@ def generate_rays(width, height, num_samples, time, camera_pos: Vec3, rot,
     if tile_height is None:
         tile_height = height
     n_pix = width * tile_height
-    pixel_id = (jnp.arange(n_pix, dtype=jnp.uint32)
-                + jnp.uint32(row0) * jnp.uint32(width))
+    if tile is not None:
+        local = tiled_pixel_order(width, tile_height, tile)
+    else:
+        local = jnp.arange(n_pix, dtype=jnp.uint32)
+    pixel_id = local + jnp.uint32(row0) * jnp.uint32(width)
     px = (pixel_id % jnp.uint32(width)).astype(jnp.float32)
     py = (pixel_id // jnp.uint32(width)).astype(jnp.float32)
 

@@ -189,17 +189,20 @@ def barycentric_weights(v0: Vec3, v1: Vec3, v2: Vec3, p: Vec3):
     return w2, w0, w1
 
 
-def _tri_backend_auto(n_tris: int) -> str:
+def _tri_backend_auto(scene: DeviceScene) -> str:
     # Measured on TPU v5e: XLA's fused brute-force loop runs at ~54
     # Gtests/s (VPU-bound) and BEATS the blockwise Pallas kernel (~48) on
-    # the same algorithm, so "auto" keeps the jnp path; the Pallas backend
-    # remains selectable and is the substrate for the clustered/BVH kernel
-    # where per-block culling (inexpressible in dense XLA) wins.
+    # the same algorithm, so dense scenes keep the jnp path.  When the
+    # scene build baked BVH clusters, the packet-culling kernel wins by
+    # skipping work the dense path must execute.
+    if scene.triangles.clusters is not None and jax.default_backend() == "tpu":
+        return "clustered"
     return "jnp"
 
 
 def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
-                tri_chunk: int = 256, tri_backend: str = "auto") -> Hit:
+                tri_chunk: int = 256, tri_backend: str = "auto",
+                alive: jnp.ndarray = None) -> Hit:
     """Nearest hit across all primitive categories, with shading data.
 
     Equivalent to closest_intersection (render.cl:293-378): strict `<`
@@ -208,12 +211,21 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
     order; exact ties are measure-zero).
 
     tri_backend: "jnp" (fused XLA loop), "pallas" (blockwise TPU kernel),
-    or "auto" (pallas on TPU for non-trivial meshes)."""
+    "clustered" (BVH packet-culling TPU kernel), or "auto".  `alive` is an
+    optional (R,) bool mask letting the clustered kernel skip fully-dead
+    ray blocks."""
     if tri_backend == "auto":
-        tri_backend = _tri_backend_auto(scene.triangles.v0.x.shape[0])
+        tri_backend = _tri_backend_auto(scene)
     t_s, i_s = intersect_spheres(o, d, scene.spheres)
     t_p, i_p = intersect_planes(o, d, scene.planes)
-    if tri_backend == "pallas":
+    if tri_backend == "clustered" and scene.triangles.clusters is not None:
+        from .pallas.cluster_kernel import intersect_triangles_clustered
+        alive_f = (jnp.ones_like(o.x) if alive is None
+                   else alive.astype(jnp.float32))
+        cl = scene.triangles.clusters
+        t_t, i_t = intersect_triangles_clustered(o, d, alive_f, cl.aabb,
+                                                 cl.table)
+    elif tri_backend == "pallas":
         from .pallas.triangle_kernel import (intersect_triangles_pallas,
                                              pack_triangles)
         t_t, i_t = intersect_triangles_pallas(o, d,

@@ -28,7 +28,7 @@ from .scene_types import DeviceScene
 from .intersect import closest_hit
 from .bsdf import gather_materials, sample_material
 from .sky import sky_color
-from .camera import camera_rotation, generate_rays
+from .camera import camera_rotation, generate_rays, untile_pixels
 
 
 class CameraState(NamedTuple):
@@ -68,7 +68,7 @@ def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
     def body(carry, i):
         o, d, color, mask, seed, alive, sky_mask, sky_dir = carry
         hit = closest_hit(scene, o, d, tri_chunk=tri_chunk,
-                          tri_backend=tri_backend)
+                          tri_backend=tri_backend, alive=alive)
         h_alive = alive & hit.hit
         m_alive = alive & (~hit.hit)
 
@@ -105,7 +105,7 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
                 time: jnp.ndarray, *, width: int, height: int,
                 num_samples: int, num_bounces: int,
                 show_normals: bool = False, tri_chunk: int = 256,
-                tri_backend: str = "auto", row0=0,
+                tri_backend: str = "auto", ray_tile=None, row0=0,
                 tile_height: int = None) -> jnp.ndarray:
     """One progressive sample pass: trace S jittered samples per pixel and
     accumulate the per-pixel mean into the canvas (render.cl:483-523).
@@ -120,7 +120,8 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
     o, d, seed = generate_rays(width, height, num_samples, time,
                                camera.position, rot,
                                camera.aspect_ratio, camera.fov_scale,
-                               row0=row0, tile_height=tile_height)
+                               row0=row0, tile_height=tile_height,
+                               tile=ray_tile)
     color = trace_rays(scene, o, d, seed, num_bounces,
                        show_normals=show_normals, tri_chunk=tri_chunk,
                        tri_backend=tri_backend)
@@ -128,7 +129,10 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
     inv_s = jnp.float32(1.0 / num_samples)
 
     def per_pixel(c):
-        return c.reshape(tile_height * width, num_samples).sum(axis=1) * inv_s
+        p = c.reshape(tile_height * width, num_samples).sum(axis=1) * inv_s
+        if ray_tile is not None:
+            p = untile_pixels(p, width, tile_height, ray_tile)
+        return p
 
     frame = jnp.stack(
         [per_pixel(color.x), per_pixel(color.y), per_pixel(color.z)],
@@ -141,7 +145,8 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
 def make_render_step(width: int, height: int, num_samples: int,
                      num_bounces: int, show_normals: bool = False,
                      tri_chunk: int = 256, tri_backend: str = "auto",
-                     donate_canvas: bool = True, jit: bool = True):
+                     ray_tile=None, donate_canvas: bool = True,
+                     jit: bool = True):
     """Build the jitted progressive step fn: (scene, camera, canvas, time) ->
     canvas.  Static shape config is baked in (the jit cache key), the moral
     equivalent of the reference's one-time kernel build (tracer.cpp:21-26).
@@ -149,7 +154,7 @@ def make_render_step(width: int, height: int, num_samples: int,
     fn = functools.partial(
         render_pass, width=width, height=height, num_samples=num_samples,
         num_bounces=num_bounces, show_normals=show_normals,
-        tri_chunk=tri_chunk, tri_backend=tri_backend,
+        tri_chunk=tri_chunk, tri_backend=tri_backend, ray_tile=ray_tile,
     )
     if not jit:
         return fn
