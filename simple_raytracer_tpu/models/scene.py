@@ -113,6 +113,61 @@ class Scene:
     def add_material(self, material: Material, name: Optional[str] = None) -> int:
         return self.materials.push(material, name)
 
+    # -- editing operations (the ImGui editor's verbs as API,
+    #    interface.cpp:106-310) -------------------------------------------
+    def remove_shape(self, shape) -> None:
+        """Delete a shape (the editor's per-row X button)."""
+        for lst in (self.spheres, self.planes, self.models):
+            if shape in lst:
+                lst.remove(shape)
+                return
+        raise ValueError("shape not in scene")
+
+    def duplicate_shape(self, shape):
+        """Duplicate a shape (interface.cpp duplicate button); the copy
+        shares mesh spans (instancing) but has independent fields."""
+        import copy
+        dup = copy.deepcopy(shape)
+        if isinstance(shape, Sphere):
+            self.spheres.append(dup)
+        elif isinstance(shape, Plane):
+            self.planes.append(dup)
+        elif isinstance(shape, Model):
+            self.models.append(dup)
+        else:
+            raise TypeError(type(shape))
+        return dup
+
+    def set_material(self, shape, material_index: int) -> None:
+        """Assign a material (the editor's drag-drop assignment,
+        interface.cpp:231-244)."""
+        if not 0 <= material_index < len(self.materials):
+            raise IndexError(material_index)
+        shape.material = material_index
+
+    def remove_material(self, index: int) -> None:
+        """Delete a material with the editor's reindex semantics
+        (interface.cpp:405-422)."""
+        self.materials.remove(index, self.all_shapes)
+
+    def set_model_transform(self, model: Model, transform) -> None:
+        """Gizmo-style TRS edit: replace the instance transform (world AABB
+        is derived at build; interface.cpp:98-101 recomputes it eagerly)."""
+        model.transform = np.asarray(transform, np.float32)
+
+    def import_model(self, path, material: int = 0,
+                     transform: Optional[np.ndarray] = None) -> Model:
+        """Load an STL/OBJ file into the shared pool and add an instance
+        (the editor's model-import popup, interface.cpp:262-304)."""
+        from ..io.obj import load_obj_model
+        from ..io.stl import load_stl_model
+        loader = (load_stl_model if str(path).lower().endswith(".stl")
+                  else load_obj_model)
+        span = loader(path, self.pool)
+        if span is None:
+            raise FileNotFoundError(path)
+        return self.add_model(span, material=material, transform=transform)
+
     # -- device compilation ----------------------------------------------
     def build(self) -> DeviceScene:
         return DeviceScene(

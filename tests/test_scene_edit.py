@@ -1,0 +1,83 @@
+"""Scene editing API tests (the ImGui editor verbs, interface.cpp)."""
+import numpy as np
+import pytest
+
+from simple_raytracer_tpu import Material, Scene
+from simple_raytracer_tpu.io.stl import save_stl
+from simple_raytracer_tpu.models.shapes import transform_trs
+
+
+def test_remove_and_duplicate_shape():
+    sc = Scene()
+    s = sc.add_sphere((0, 0, 0), 1.0)
+    b = sc.add_box((1, 0, 0))
+    d = sc.duplicate_shape(s)
+    assert len(sc.spheres) == 2
+    d.position = (5, 0, 0)
+    assert sc.spheres[0].position == (0, 0, 0)  # deep copy
+    sc.remove_shape(s)
+    assert sc.spheres == [d]
+    dup_box = sc.duplicate_shape(b)
+    # instancing: duplicate shares the triangle span
+    assert dup_box.triangle_index == b.triangle_index
+    assert len(sc.pool) == 12
+    sc.remove_shape(b)
+    with pytest.raises(ValueError):
+        sc.remove_shape(b)
+
+
+def test_set_material_bounds():
+    sc = Scene()
+    s = sc.add_sphere((0, 0, 0), 1.0)
+    m = sc.add_material(Material(color=(1, 0, 0)), "Red")
+    sc.set_material(s, m)
+    assert s.material == m
+    with pytest.raises(IndexError):
+        sc.set_material(s, 99)
+
+
+def test_remove_material_reindexes():
+    sc = Scene()
+    a = sc.add_material(Material(), "A")
+    b = sc.add_material(Material(), "B")
+    s1 = sc.add_sphere((0, 0, 0), 1, material=a)
+    s2 = sc.add_plane((0, -1, 0), (0, 1, 0), material=b)
+    sc.remove_material(a)
+    assert s1.material == 0 and s2.material == 1
+
+
+def test_set_model_transform_changes_device_scene():
+    sc = Scene()
+    m = sc.add_box((0, 0, 0))
+    d1 = sc.build()
+    sc.set_model_transform(m, transform_trs((3, 0, 0)))
+    d2 = sc.build()
+    # world-space triangles moved by +3 in x
+    x1 = np.asarray(d1.triangles.v0.x)[np.asarray(d1.triangles.active)]
+    x2 = np.asarray(d2.triangles.v0.x)[np.asarray(d2.triangles.active)]
+    np.testing.assert_allclose(np.sort(x2), np.sort(x1) + 3.0, rtol=1e-6)
+
+
+def test_import_model(tmp_path):
+    pos = np.zeros((3, 3, 3), np.float32)
+    pos[:, 1, 0] = 1.0
+    pos[:, 2, 1] = 1.0
+    p = tmp_path / "tri.stl"
+    save_stl(p, pos)
+    sc = Scene()
+    m = sc.import_model(p, transform=transform_trs((0, 0, -5)))
+    assert m.num_triangles == 3
+    assert len(sc.pool) == 3
+    with pytest.raises(FileNotFoundError):
+        sc.import_model(tmp_path / "missing.obj")
+
+
+def test_shape_reorder_is_list_order():
+    # the editor's drag-drop reorder = plain list manipulation
+    sc = Scene()
+    s1 = sc.add_sphere((0, 0, 0), 1.0)
+    s2 = sc.add_sphere((1, 0, 0), 1.0)
+    sc.spheres.reverse()
+    assert sc.spheres == [s2, s1]
+    ds = sc.build()
+    assert float(ds.spheres.center.x[0]) == 1.0
