@@ -306,12 +306,11 @@ class Scene:
             ground_color=_vec3_scalar(s.ground_color),
         )
 
-    def _build_skybox(self) -> Vec3:
+    def _build_skybox(self):
+        # None selects the analytic gradient sky (render.cl:381-389) —
+        # pure arithmetic, no texture gather
         if self.skybox is None:
-            s = self.sky
-            return procedural_skybox(horizon=s.horizon_color,
-                                     zenith=s.zenith_color,
-                                     ground=s.ground_color)
+            return None
         img = np.asarray(self.skybox, np.float32)
         return Vec3(jnp.asarray(img[..., 0]), jnp.asarray(img[..., 1]),
                     jnp.asarray(img[..., 2]))

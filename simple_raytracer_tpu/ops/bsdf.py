@@ -56,18 +56,30 @@ class MatFields(NamedTuple):
 
 
 def gather_materials(materials: MaterialsSoA, idx: jnp.ndarray) -> MatFields:
-    """Per-ray material field gather by (R,) index array."""
+    """Per-ray material field gather by (R,) index array.
+
+    All 12 fields fetched with ONE one-hot MXU matmul — per-field dynamic
+    gathers are element-serial on TPU when the table is a jit argument
+    (see ops.gather)."""
+    from .gather import table_gather
+
+    table = jnp.stack([
+        materials.smoothness, materials.metallic, materials.specular,
+        materials.emission_strength, materials.transmittance,
+        materials.refraction_index,
+        materials.color.x, materials.color.y, materials.color.z,
+        materials.emission.x, materials.emission.y, materials.emission.z,
+    ], axis=-1)
+    rows = table_gather(table, idx)
     return MatFields(
-        smoothness=materials.smoothness[idx],
-        metallic=materials.metallic[idx],
-        specular=materials.specular[idx],
-        emission_strength=materials.emission_strength[idx],
-        transmittance=materials.transmittance[idx],
-        refraction_index=materials.refraction_index[idx],
-        color=Vec3(materials.color.x[idx], materials.color.y[idx],
-                   materials.color.z[idx]),
-        emission=Vec3(materials.emission.x[idx], materials.emission.y[idx],
-                      materials.emission.z[idx]),
+        smoothness=rows[:, 0],
+        metallic=rows[:, 1],
+        specular=rows[:, 2],
+        emission_strength=rows[:, 3],
+        transmittance=rows[:, 4],
+        refraction_index=rows[:, 5],
+        color=Vec3(rows[:, 6], rows[:, 7], rows[:, 8]),
+        emission=Vec3(rows[:, 9], rows[:, 10], rows[:, 11]),
     )
 
 

@@ -240,18 +240,31 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
 
     position = o + d * t
 
+    # All winner-attribute fetches go through ops.gather (one-hot MXU
+    # matmul for small tables / row gather for big ones): per-component
+    # dynamic gathers from jit-argument tables are element-serial on TPU.
+    from .gather import table_gather
+
     # sphere shading: n = (pos - center) / radius   (render.cl:311-312)
-    sc = vgather(scene.spheres.center, i_s)
-    sr = scene.spheres.radius[i_s]
-    n_sph = (position - sc) / sr
+    sph_tab = jnp.stack([scene.spheres.center.x, scene.spheres.center.y,
+                         scene.spheres.center.z, scene.spheres.radius,
+                         scene.spheres.material.astype(jnp.float32)],
+                        axis=-1)
+    srow = table_gather(sph_tab, i_s)
+    n_sph = (position - Vec3(srow[:, 0], srow[:, 1], srow[:, 2])) / srow[:, 3]
+    sph_material = srow[:, 4]
 
     # plane shading: n = plane normal               (render.cl:360-362)
-    n_pln = vgather(scene.planes.normal, i_p)
+    pln_tab = jnp.stack([scene.planes.normal.x, scene.planes.normal.y,
+                         scene.planes.normal.z,
+                         scene.planes.material.astype(jnp.float32)], axis=-1)
+    prow = table_gather(pln_tab, i_p)
+    n_pln = Vec3(prow[:, 0], prow[:, 1], prow[:, 2])
+    pln_material = prow[:, 3]
 
-    # triangle shading: smooth barycentric normals  (render.cl:339-343)
-    # One packed row gather for all 18 vertex attrs + the material index —
-    # per-component gathers are element-serial on TPU (see TrianglesSoA).
-    trow = scene.triangles.shade[i_t]
+    # triangle shading: smooth barycentric normals  (render.cl:339-343);
+    # packed (T, 20) shade table: 18 vertex attrs + material index
+    trow = table_gather(scene.triangles.shade, i_t)
     tv0 = Vec3(trow[:, 0], trow[:, 1], trow[:, 2])
     tv1 = Vec3(trow[:, 3], trow[:, 4], trow[:, 5])
     tv2 = Vec3(trow[:, 6], trow[:, 7], trow[:, 8])
@@ -260,12 +273,12 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
              + Vec3(trow[:, 12], trow[:, 13], trow[:, 14]) * wy
              + Vec3(trow[:, 15], trow[:, 16], trow[:, 17]) * wz)
     n_tri = normalize(n_tri)
-    tri_material = trow[:, 18].astype(jnp.int32)
+    tri_material = trow[:, 18]
 
     normal = vwhere(is_s, n_sph, vwhere(is_p, n_pln, n_tri))
     material = jnp.where(
-        is_s, scene.spheres.material[i_s],
-        jnp.where(is_p, scene.planes.material[i_p], tri_material),
+        is_s, sph_material,
+        jnp.where(is_p, pln_material, tri_material),
     ).astype(jnp.int32)
 
     # flip normal toward the ray (render.cl:372-375)

@@ -105,4 +105,5 @@ class DeviceScene(NamedTuple):
     triangles: TrianglesSoA
     materials: MaterialsSoA
     sky: SkyParams
-    skybox: Vec3             # (Hs, Ws) per channel, f32, bottom-up (stbi flip)
+    skybox: Optional[Vec3]   # (Hs, Ws) per channel f32 bottom-up, or None
+                             # for the analytic gradient sky

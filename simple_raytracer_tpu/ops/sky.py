@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .vec import Vec3, dot
+from .vec import Vec3, dot, mix
 from .scene_types import SkyParams
 
 _INV_PI = jnp.float32(1.0 / 3.14159274101257324)
@@ -100,8 +100,39 @@ def sample_equirect(skybox: Vec3, u: jnp.ndarray, v: jnp.ndarray) -> Vec3:
     return sample_equirect_gather(skybox, u, v)
 
 
-def sky_color(d: Vec3, sky: SkyParams, skybox: Vec3) -> Vec3:
-    """Full environment radiance along miss direction d (unit)."""
+def _smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def sky_gradient(d: Vec3, sky: SkyParams) -> Vec3:
+    """Analytic three-color gradient sky + masked sun.
+
+    This is the reference's own gradient design (render.cl:381-389 — the
+    code is commented out there in favor of the texture, but its horizon/
+    zenith/ground parameters survive in SceneData and the UI):
+      t   = pow(smoothstep(0, 0.4, y), 0.35); sky = mix(horizon, zenith, t)
+      g2s = smoothstep(-0.01, 0, y); sun shown only when g2s >= 1
+      mix(ground, sky, g2s) + sun * sun_mask
+    Pure arithmetic — no texture gather — so it is the fast default
+    environment when no skybox image is supplied."""
+    t = jnp.power(_smoothstep(0.0, 0.4, d.y), jnp.float32(0.35))
+    grad = mix(sky.horizon_color, sky.zenith_color, t)
+    g2s = _smoothstep(-0.01, 0.0, d.y)
+    sun_cos = jnp.maximum(dot(d, -sky.sun_direction), 0.0)
+    sun_term = (jnp.power(sun_cos, sky.sun_focus) * sky.sun_intensity
+                * (g2s >= 1.0))
+    return mix(sky.ground_color, grad, g2s) + sky.sun_color * sun_term
+
+
+def sky_color(d: Vec3, sky: SkyParams, skybox) -> Vec3:
+    """Full environment radiance along miss direction d (unit).
+
+    skybox=None selects the analytic gradient; otherwise the equirect
+    texture + unmasked sun (the reference's active path, render.cl:390-393).
+    """
+    if skybox is None:
+        return sky_gradient(d, sky)
     sun_cos = jnp.maximum(dot(d, -sky.sun_direction), 0.0)
     sun_term = jnp.power(sun_cos, sky.sun_focus) * sky.sun_intensity
     sun = sky.sun_color * sun_term

@@ -128,16 +128,8 @@ class OracleScene:
         mats = scene.materials.materials
         self.materials = mats
         self.sky = scene.sky
-        # same default skybox as the device build
-        if scene.skybox is None:
-            from simple_raytracer_tpu.ops.sky import procedural_skybox
-            sb = procedural_skybox(horizon=scene.sky.horizon_color,
-                                   zenith=scene.sky.zenith_color,
-                                   ground=scene.sky.ground_color)
-            self.skybox = np.stack([np.asarray(sb.x), np.asarray(sb.y),
-                                    np.asarray(sb.z)], axis=-1).astype(F)
-        else:
-            self.skybox = np.asarray(scene.skybox, F)
+        self.skybox = (None if scene.skybox is None
+                       else np.asarray(scene.skybox, F))
 
     def closest(self, o, d):
         best_t = np.inf
@@ -177,6 +169,21 @@ class OracleScene:
         sun_cos = max(np.dot(d, -sun_dir), F(0.0))
         sun = (np.array(s.sun_color, F) * F(s.sun_intensity)
                * F(sun_cos) ** F(s.sun_focus))
+        if self.skybox is None:
+            # analytic gradient (render.cl:381-389)
+            def smoothstep(e0, e1, x):
+                t = np.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+                return F(t * t * (3.0 - 2.0 * t))
+            t = smoothstep(0.0, 0.4, d[1]) ** F(0.35)
+            horizon = np.array(s.horizon_color, F)
+            zenith = np.array(s.zenith_color, F)
+            ground = np.array(s.ground_color, F)
+            grad = horizon + (zenith - horizon) * t
+            g2s = smoothstep(-0.01, 0.0, d[1])
+            out = ground + (grad - ground) * g2s
+            if g2s >= 1.0:
+                out = out + sun
+            return out.astype(F)
         u = np.arctan2(d[2], d[0]) / F(np.pi) * F(0.5) + F(0.5)
         v = d[1] * F(0.5) + F(0.5)
         h, w = self.skybox.shape[:2]
