@@ -25,8 +25,12 @@ from .materials import Material, MaterialSet, from_hex
 from .shapes import Box, Model, Plane, Sphere, TrianglePool
 
 
-def _bucket(n: int, minimum: int = 8) -> int:
-    """Smallest power of two >= max(n, minimum)."""
+def _bucket(n: int, minimum: int = 4) -> int:
+    """Smallest power of two >= max(n, minimum); 0 stays 0 so that empty
+    primitive categories cost nothing (their arrays are zero-capacity and
+    the intersection layer skips them statically)."""
+    if n == 0:
+        return 0
     cap = minimum
     while cap < n:
         cap *= 2

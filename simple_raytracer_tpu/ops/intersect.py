@@ -216,9 +216,24 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
     ray blocks."""
     if tri_backend == "auto":
         tri_backend = _tri_backend_auto(scene)
-    t_s, i_s = intersect_spheres(o, d, scene.spheres)
-    t_p, i_p = intersect_planes(o, d, scene.planes)
-    if tri_backend == "clustered" and scene.triangles.clusters is not None:
+    inf = jnp.full_like(o.x, jnp.inf)
+    zero_i = jnp.zeros(o.x.shape, jnp.int32)
+    # empty primitive categories have zero-capacity arrays (a STATIC
+    # property under jit), so their whole intersection cost vanishes
+    has_spheres = scene.spheres.radius.shape[0] > 0
+    has_planes = scene.planes.material.shape[0] > 0
+    has_tris = scene.triangles.material.shape[0] > 0
+    if has_spheres:
+        t_s, i_s = intersect_spheres(o, d, scene.spheres)
+    else:
+        t_s, i_s = inf, zero_i
+    if has_planes:
+        t_p, i_p = intersect_planes(o, d, scene.planes)
+    else:
+        t_p, i_p = inf, zero_i
+    if not has_tris:
+        t_t, i_t = inf, zero_i
+    elif tri_backend == "clustered" and scene.triangles.clusters is not None:
         from .pallas.cluster_kernel import intersect_triangles_clustered
         alive_f = (jnp.ones_like(o.x) if alive is None
                    else alive.astype(jnp.float32))
@@ -246,24 +261,41 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
     from .gather import table_gather
 
     # sphere shading: n = (pos - center) / radius   (render.cl:311-312)
-    sph_tab = jnp.stack([scene.spheres.center.x, scene.spheres.center.y,
-                         scene.spheres.center.z, scene.spheres.radius,
-                         scene.spheres.material.astype(jnp.float32)],
-                        axis=-1)
-    srow = table_gather(sph_tab, i_s)
-    n_sph = (position - Vec3(srow[:, 0], srow[:, 1], srow[:, 2])) / srow[:, 3]
-    sph_material = srow[:, 4]
+    if has_spheres:
+        sph_tab = jnp.stack([scene.spheres.center.x, scene.spheres.center.y,
+                             scene.spheres.center.z, scene.spheres.radius,
+                             scene.spheres.material.astype(jnp.float32)],
+                            axis=-1)
+        srow = table_gather(sph_tab, i_s)
+        n_sph = (position - Vec3(srow[:, 0], srow[:, 1], srow[:, 2])) / srow[:, 3]
+        sph_material = srow[:, 4]
+    else:
+        n_sph = Vec3(inf, inf, inf)
+        sph_material = jnp.zeros_like(o.x)
 
     # plane shading: n = plane normal               (render.cl:360-362)
-    pln_tab = jnp.stack([scene.planes.normal.x, scene.planes.normal.y,
-                         scene.planes.normal.z,
-                         scene.planes.material.astype(jnp.float32)], axis=-1)
-    prow = table_gather(pln_tab, i_p)
-    n_pln = Vec3(prow[:, 0], prow[:, 1], prow[:, 2])
-    pln_material = prow[:, 3]
+    if has_planes:
+        pln_tab = jnp.stack([scene.planes.normal.x, scene.planes.normal.y,
+                             scene.planes.normal.z,
+                             scene.planes.material.astype(jnp.float32)],
+                            axis=-1)
+        prow = table_gather(pln_tab, i_p)
+        n_pln = Vec3(prow[:, 0], prow[:, 1], prow[:, 2])
+        pln_material = prow[:, 3]
+    else:
+        n_pln = Vec3(inf, inf, inf)
+        pln_material = jnp.zeros_like(o.x)
 
     # triangle shading: smooth barycentric normals  (render.cl:339-343);
     # packed (T, 20) shade table: 18 vertex attrs + material index
+    if not has_tris:
+        normal = vwhere(is_s, n_sph, n_pln)
+        material = jnp.where(is_s, sph_material, pln_material
+                             ).astype(jnp.int32)
+        front = dot(normal, d) < 0.0
+        normal = normal * jnp.where(front, 1.0, -1.0)
+        return Hit(hit=hit, t=t, position=position, normal=normal,
+                   front=front, material=material)
     trow = table_gather(scene.triangles.shade, i_t)
     tv0 = Vec3(trow[:, 0], trow[:, 1], trow[:, 2])
     tv1 = Vec3(trow[:, 3], trow[:, 4], trow[:, 5])
