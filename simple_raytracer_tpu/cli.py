@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-path", default=None,
                    help="STL/OBJ file for mesh configs (4/5)")
     p.add_argument("--skybox", default=None, help="equirect skybox image file")
-    p.add_argument("--tri-backend", choices=["auto", "jnp", "pallas"],
+    p.add_argument("--tri-backend", choices=["auto", "jnp", "pallas", "clustered"],
                    default="auto", help="triangle intersection backend")
     p.add_argument("--time-seed", type=int, default=None,
                    help="RNG time seed (default: deterministic counter)")

@@ -35,8 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..vec import Vec3
 
 
-def _kernel(aabb, rays, table_hbm, t_out, idx_out,
-            t_scr, idx_scr, tri_buf, sem, *, block_k, n_clusters):
+def _kernel(aabb, rays, table_hbm, out, t_scr, idx_scr, tri_buf, sem,
+            *, block_k, n_clusters):
     t_scr[...] = jnp.full(t_scr.shape, jnp.inf, jnp.float32)
     idx_scr[...] = jnp.zeros(idx_scr.shape, jnp.int32)
 
@@ -132,8 +132,12 @@ def _kernel(aabb, rays, table_hbm, t_out, idx_out,
     def _():
         jax.lax.fori_loop(0, n_clusters, visit, 0)
 
-    t_out[...] = t_scr[...]
-    idx_out[...] = idx_scr[...]
+    # single packed (BR, 8) output: [t, idx-as-f32-bits, pad...] — two
+    # separate (BR, 1) outputs each pad to 128 lanes in VMEM/HBM traffic
+    zeros = jnp.zeros(t_scr.shape, jnp.float32)
+    out[...] = jnp.concatenate(
+        [t_scr[...], pltpu.bitcast(idx_scr[...], jnp.float32)]
+        + [zeros] * 6, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("block_r", "interpret"))
@@ -162,7 +166,7 @@ def intersect_triangles_clustered(o: Vec3, d: Vec3, alive: jnp.ndarray,
 
     ray_spec = pl.BlockSpec((block_r, 8), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    t_best, idx = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, block_k=block_k, n_clusters=n_clusters),
         grid=grid,
         in_specs=[
@@ -173,16 +177,9 @@ def intersect_triangles_clustered(o: Vec3, d: Vec3, alive: jnp.ndarray,
             # full triangle table stays in HBM; tiles are DMA'd on demand
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((block_r, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_r, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rp, 1), jnp.int32),
-        ],
+        out_specs=pl.BlockSpec((block_r, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, 8), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((block_r, 1), jnp.float32),
             pltpu.VMEM((block_r, 1), jnp.int32),
@@ -192,4 +189,6 @@ def intersect_triangles_clustered(o: Vec3, d: Vec3, alive: jnp.ndarray,
         interpret=interpret,
     )(aabb, rays, table)
 
-    return t_best[:n_rays, 0], idx[:n_rays, 0]
+    t_best = out[:n_rays, 0]
+    idx = jax.lax.bitcast_convert_type(out[:n_rays, 1], jnp.int32)
+    return t_best, idx
