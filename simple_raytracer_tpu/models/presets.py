@@ -17,9 +17,9 @@ from ..engine import RenderOptions
 from ..io.obj import load_obj_model
 from ..io.stl import load_stl_model
 from .camera import Camera
-from .materials import Material, from_hex
+from .materials import Material
 from .meshgen import icosphere
-from .scene import Scene, SkySettings
+from .scene import Scene
 from .shapes import transform_trs
 
 

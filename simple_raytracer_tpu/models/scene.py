@@ -19,7 +19,7 @@ import numpy as np
 from ..ops.scene_types import (DeviceScene, MaterialsSoA, PlanesSoA,
                                SkyParams, SpheresSoA, TriangleClustersSoA,
                                TrianglesSoA)
-from ..ops.sky import procedural_skybox
+
 from ..ops.vec import Vec3
 from .materials import Material, MaterialSet, from_hex
 from .shapes import Box, Model, Plane, Sphere, TrianglePool

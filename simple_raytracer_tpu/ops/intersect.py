@@ -20,13 +20,13 @@ the culling benefit.
 """
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from .vec import Vec3, dot, cross, normalize, where as vwhere, gather as vgather
+from .vec import Vec3, dot, cross, normalize, where as vwhere
 from .scene_types import DeviceScene, SpheresSoA, PlanesSoA, TrianglesSoA
 
 _INF = jnp.float32(jnp.inf)

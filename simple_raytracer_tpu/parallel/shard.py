@@ -9,7 +9,6 @@ render (up to compiler fp reassociation), which the multichip tests assert.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

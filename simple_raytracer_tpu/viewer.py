@@ -20,7 +20,6 @@ import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-import numpy as np
 
 from .engine import Renderer, RenderOptions
 from .models.camera import Camera

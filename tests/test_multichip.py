@@ -61,3 +61,24 @@ def test_mesh_height_divisibility():
     mesh = make_mesh(jax.devices())
     with pytest.raises(ValueError):
         make_sharded_render_step(64, 50, 1, 2, mesh=mesh)
+
+
+def test_sharded_mesh_scene_matches_single_chip(devices):
+    """Mesh scene (triangle SoA + clusters pytree) under shard_map."""
+    from simple_raytracer_tpu.models.presets import config4_mesh_glass
+
+    scene, camera, _ = config4_mesh_glass(width=64, height=32)
+    ds = scene.build()
+    assert ds.triangles.clusters is not None  # clusters ride the pytree
+
+    opts = RenderOptions(width=64, height=32, num_samples=1, num_bounces=3,
+                         tri_backend="jnp", ray_tile=None)
+    r = Renderer(opts, scene=scene)
+    r.step(camera, time=21)
+    single = np.asarray(r.canvas)
+
+    mesh = make_mesh(devices)
+    step, mesh, _ = make_sharded_render_step(64, 32, 1, 3, mesh=mesh)
+    canvas = make_sharded_canvas(mesh, 32, 64)
+    out = step(ds, camera.state(2.0), canvas, jnp.uint32(21))
+    np.testing.assert_allclose(np.asarray(out), single, rtol=1e-5, atol=1e-6)
