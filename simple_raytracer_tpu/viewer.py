@@ -70,11 +70,13 @@ class RenderLoop:
     movement-resets-accumulation contract."""
 
     def __init__(self, renderer: Renderer, camera: Camera,
-                 movement_speed: float = 15.0, look_speed: float = 25.0):
+                 movement_speed: float = 15.0, look_speed: float = 25.0,
+                 fps_limit: float = 0.0):
         self.renderer = renderer
         self.camera = camera
         self.movement_speed = movement_speed
         self.look_speed = look_speed
+        self.fps_limit = fps_limit  # 0 = uncapped (reference default: 60)
         self.timer = FrameTimer()
         self._lock = threading.Lock()
         self._dirty = True
@@ -149,6 +151,11 @@ class RenderLoop:
             with self._lock:
                 self._png = buf.getvalue()
                 self._frame_id += 1
+            # FPS limiter (main.cpp:345-346: SDL_Delay to the cap)
+            if self.fps_limit > 0:
+                budget = 1.0 / self.fps_limit - (time.perf_counter() - t0)
+                if budget > 0:
+                    time.sleep(budget)
 
 
 def make_handler(loop: RenderLoop, width: int, height: int):
@@ -207,9 +214,9 @@ def make_handler(loop: RenderLoop, width: int, height: int):
 
 
 def serve(scene, camera, options: RenderOptions, port: int = 8008,
-          host: str = "127.0.0.1"):
+          host: str = "127.0.0.1", fps_limit: float = 0.0):
     renderer = Renderer(options, scene=scene)
-    loop = RenderLoop(renderer, camera)
+    loop = RenderLoop(renderer, camera, fps_limit=fps_limit)
     loop.start()
     server = ThreadingHTTPServer((host, port),
                                  make_handler(loop, options.width,
@@ -234,6 +241,8 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=272)
     p.add_argument("--samples", type=int, default=1)
     p.add_argument("--bounces", type=int, default=6)
+    p.add_argument("--fps-limit", type=float, default=0.0,
+                   help="cap render loop fps (reference caps at 60); 0 = off")
     args = p.parse_args(argv)
 
     if args.scene:
@@ -246,7 +255,7 @@ def main(argv=None):
     options = RenderOptions(width=args.width, height=args.height,
                             num_samples=args.samples,
                             num_bounces=args.bounces)
-    serve(scene, camera, options, port=args.port)
+    serve(scene, camera, options, port=args.port, fps_limit=args.fps_limit)
 
 
 if __name__ == "__main__":
