@@ -61,6 +61,13 @@ def main(argv=None) -> int:
     from .utils.metrics import profiler_trace, ray_throughput
 
     if args.scene:
+        import os
+        if not os.path.exists(args.scene):
+            # friendly error like the editor's "Inexistant file" message
+            # (interface.cpp:277-290) instead of a raw traceback
+            print(f"srt-render: error: scene file not found: {args.scene}",
+                  file=sys.stderr)
+            return 2
         from .io.scene_json import load_scene
         scene, camera = load_scene(args.scene)
         if camera is None:

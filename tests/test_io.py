@@ -1,6 +1,7 @@
 """Asset I/O tests: STL/OBJ fixtures (incl. negative indices, v//vn forms),
 PPM round-trip, scene JSON round-trip."""
 import numpy as np
+import pytest
 
 from simple_raytracer_tpu.io.image import load_ppm, save_ppm
 from simple_raytracer_tpu.io.obj import load_obj_model
@@ -123,3 +124,49 @@ def test_material_remove_reindex():
     assert s1.material == 0  # deleted -> fall back to 0 (interface.cpp:414)
     assert s2.material == 1  # shifted down
     assert sc.materials.names == ["Material0", "B"]
+
+
+def test_obj_malformed_lines(tmp_path):
+    """Garbage statements are skipped like the reference's mode switch
+    (unknown modes fall through, parser.cpp:121-123)."""
+    p = tmp_path / "weird.obj"
+    p.write_text("""
+v 0 0 0
+v 1 0 0
+v 0 1 0
+vt 0.5 0.5
+usemtl whatever
+mtllib none.mtl
+o object_name
+g group
+# comment
+s 1
+f 1 2 3
+""")
+    pool = TrianglePool()
+    span = load_obj_model(p, pool)
+    assert span == (0, 1)
+    np.testing.assert_array_equal(pool.positions[0, 1], [1, 0, 0])
+
+
+def test_cli_missing_scene_file_is_friendly(capsys):
+    from simple_raytracer_tpu.cli import main
+    rc = main(["--scene", "/nonexistent/scene.json", "--out", "/tmp/x.png"])
+    assert rc == 2
+    assert "scene file not found" in capsys.readouterr().err
+
+
+def test_reference_skybox_asset_decodes():
+    """Gated: when the reference checkout is present, its actual skybox PNG
+    must decode through our stbi-equivalent loader (C20 parity: float,
+    gamma-linearized, vertically flipped)."""
+    import os
+    path = "/root/reference/assets/skybox.png"
+    if not os.path.exists(path):
+        pytest.skip("reference asset not available")
+    from simple_raytracer_tpu.io.image import load_skybox
+    img = load_skybox(path)
+    assert img.ndim == 3 and img.shape[2] == 3
+    assert img.dtype == np.float32
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    assert img.shape[0] >= 64 and img.shape[1] >= 128
