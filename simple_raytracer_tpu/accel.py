@@ -272,9 +272,14 @@ def build_clusters(positions: np.ndarray, k: int = 256,
     while i < n:
         count = pref[skip[i]] - pref[i]
         if count <= k or is_leaf[i]:
-            boxes.append(bvh.nodes[i, :6])
-            firsts.append(int(next_leaf_first[i]))
-            counts.append(int(count))
+            first = int(next_leaf_first[i])
+            # an oversized leaf (e.g. the python builder's depth cutoff)
+            # is split across several clusters sharing its box rather than
+            # silently dropping triangles past slot k
+            for off in range(0, max(int(count), 1), k):
+                boxes.append(bvh.nodes[i, :6])
+                firsts.append(first + off)
+                counts.append(min(int(count) - off, k))
             i = int(skip[i])
         else:
             i += 1
@@ -284,8 +289,8 @@ def build_clusters(positions: np.ndarray, k: int = 256,
     aabb[:, :6] = np.asarray(boxes, np.float32)
     slots = np.full((c, k), -1, np.int32)
     for ci, (first, count) in enumerate(zip(firsts, counts)):
-        m = min(count, k)
-        slots[ci, :m] = np.arange(first, first + m, dtype=np.int32)
+        assert 0 <= count <= k, f"cluster {ci}: count {count} > k {k}"
+        slots[ci, :count] = np.arange(first, first + count, dtype=np.int32)
     return Clusters(aabb=aabb, slots=slots, order=bvh.order, k=k)
 
 

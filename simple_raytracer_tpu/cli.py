@@ -35,8 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skybox", default=None, help="equirect skybox image file")
     p.add_argument("--tri-backend", choices=["auto", "jnp", "pallas", "clustered"],
                    default="auto", help="triangle intersection backend")
-    p.add_argument("--time-seed", type=int, default=None,
-                   help="RNG time seed (default: deterministic counter)")
+    def _positive_seed(v):
+        iv = int(v)
+        if iv < 1:
+            # time=0 collapses every pixel's RNG stream to seed 0
+            # (pixel_seed multiplies by time, render.cl:496)
+            raise argparse.ArgumentTypeError("--time-seed must be >= 1")
+        return iv
+
+    p.add_argument("--time-seed", type=_positive_seed, default=None,
+                   help="RNG time seed, >= 1 (default: deterministic counter)")
     p.add_argument("--wall-clock-seed", action="store_true",
                    help="seed from the ms clock like the reference app")
     p.add_argument("--save-state", default=None,

@@ -24,15 +24,25 @@ def save_ppm(path: os.PathLike, image: np.ndarray) -> None:
 
 
 def load_ppm(path: os.PathLike) -> np.ndarray:
-    """Read a binary P6 PPM back to (H, W, 3) u8."""
+    """Read a binary P6 PPM back to (H, W, 3) u8.
+
+    The header is parsed positionally — "P6", width, height, maxval, then
+    EXACTLY ONE whitespace byte before the pixel data (the P6 contract).
+    Splitting the whole file on whitespace would swallow leading pixel
+    bytes that happen to be ASCII whitespace (0x09/0x0A/0x20...)."""
+    import re
+
     with open(path, "rb") as f:
         data = f.read()
-    # header: "P6" whitespace W whitespace H whitespace MAXVAL single-ws
-    parts = data.split(maxsplit=4)
-    assert parts[0] == b"P6"
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
-    assert maxval == 255
-    pixels = parts[4][: w * h * 3]
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", data)
+    if m is None:
+        raise ValueError(f"{path}: not a binary P6 PPM")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval != 255:
+        raise ValueError(f"{path}: unsupported maxval {maxval}")
+    pixels = data[m.end():m.end() + w * h * 3]
+    if len(pixels) < w * h * 3:
+        raise ValueError(f"{path}: truncated pixel data")
     return np.frombuffer(pixels, np.uint8).reshape(h, w, 3).copy()
 
 

@@ -71,18 +71,22 @@ class RenderLoop:
 
     def __init__(self, renderer: Renderer, camera: Camera,
                  movement_speed: float = 15.0, look_speed: float = 25.0,
-                 fps_limit: float = 0.0):
+                 fps_limit: float = 60.0, screenshot_path: str = "out.ppm"):
         self.renderer = renderer
         self.camera = camera
         self.movement_speed = movement_speed
         self.look_speed = look_speed
-        self.fps_limit = fps_limit  # 0 = uncapped (reference default: 60)
+        self.fps_limit = fps_limit  # 60 like the reference (main.cpp:153-155)
+        self.screenshot_path = screenshot_path
         self.timer = FrameTimer()
         self._lock = threading.Lock()
         self._dirty = True
         self._frame_id = 0
         self.reset_count = 0   # accumulation restarts (observability)
+        self.screenshot_count = 0
         self._png: bytes = b""
+        self._screenshot_requested = False
+        self._p_held = False   # edge-trigger: one press = one screenshot
         self.error: Exception = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -113,9 +117,13 @@ class RenderLoop:
                 moved = True
             if moved:
                 self._dirty = True  # time_not_moved = 1 (main.cpp:270-272)
-            if "p" in keys:
-                from .io.image import save_ppm
-                save_ppm("out.ppm", self.renderer.image())
+            # 'p' screenshot (main.cpp:319-322): edge-triggered, and only a
+            # FLAG is set here — the render thread saves after its step so
+            # the HTTP thread never reads the canvas mid-mutation.
+            p_now = "p" in keys
+            if p_now and not self._p_held:
+                self._screenshot_requested = True
+            self._p_held = p_now
 
     def snapshot(self):
         with self._lock:
@@ -151,6 +159,12 @@ class RenderLoop:
             with self._lock:
                 self._png = buf.getvalue()
                 self._frame_id += 1
+                shoot = self._screenshot_requested
+                self._screenshot_requested = False
+            if shoot:
+                from .io.image import save_ppm
+                save_ppm(self.screenshot_path, img)
+                self.screenshot_count += 1
             # FPS limiter (main.cpp:345-346: SDL_Delay to the cap)
             if self.fps_limit > 0:
                 budget = 1.0 / self.fps_limit - (time.perf_counter() - t0)
@@ -185,8 +199,11 @@ def make_handler(loop: RenderLoop, width: int, height: int):
             elif self.path.startswith("/state"):
                 _, frame, steps, ms, fps = loop.snapshot()
                 self._send(200, json.dumps(
-                    {"frame": frame, "steps": steps, "ms": ms,
-                     "fps": fps}).encode(), "application/json")
+                    {"frame": frame, "steps": steps, "ms": ms, "fps": fps,
+                     "resets": loop.reset_count,
+                     "screenshots": loop.screenshot_count,
+                     "error": repr(loop.error) if loop.error else None,
+                     }).encode(), "application/json")
             else:
                 self._send(404, b"not found", "text/plain")
 
@@ -214,9 +231,11 @@ def make_handler(loop: RenderLoop, width: int, height: int):
 
 
 def serve(scene, camera, options: RenderOptions, port: int = 8008,
-          host: str = "127.0.0.1", fps_limit: float = 0.0):
+          host: str = "127.0.0.1", fps_limit: float = 60.0,
+          screenshot_path: str = "out.ppm"):
     renderer = Renderer(options, scene=scene)
-    loop = RenderLoop(renderer, camera, fps_limit=fps_limit)
+    loop = RenderLoop(renderer, camera, fps_limit=fps_limit,
+                      screenshot_path=screenshot_path)
     loop.start()
     server = ThreadingHTTPServer((host, port),
                                  make_handler(loop, options.width,
@@ -241,8 +260,10 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=272)
     p.add_argument("--samples", type=int, default=1)
     p.add_argument("--bounces", type=int, default=6)
-    p.add_argument("--fps-limit", type=float, default=0.0,
-                   help="cap render loop fps (reference caps at 60); 0 = off")
+    p.add_argument("--fps-limit", type=float, default=60.0,
+                   help="cap render loop fps (reference default: 60); 0 = off")
+    p.add_argument("--screenshot-path", default="out.ppm",
+                   help="where the P key saves the PPM screenshot")
     args = p.parse_args(argv)
 
     if args.scene:
@@ -255,7 +276,8 @@ def main(argv=None):
     options = RenderOptions(width=args.width, height=args.height,
                             num_samples=args.samples,
                             num_bounces=args.bounces)
-    serve(scene, camera, options, port=args.port, fps_limit=args.fps_limit)
+    serve(scene, camera, options, port=args.port, fps_limit=args.fps_limit,
+          screenshot_path=args.screenshot_path)
 
 
 if __name__ == "__main__":

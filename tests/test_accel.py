@@ -48,6 +48,19 @@ def test_bvh_empty():
     assert bvh.num_nodes == 0
 
 
+@pytest.mark.parametrize("k", [4, 16, 64, 256])
+def test_clusters_cover_every_triangle_once(k):
+    """No silent truncation: the union of cluster slots is exactly the
+    triangle set, each exactly once (oversized leaves must split)."""
+    pos = random_tris(333, seed=3)
+    cl = accel.build_clusters(pos, k=k)
+    flat = cl.slots[cl.slots >= 0]
+    assert sorted(flat.tolist()) == list(range(333))
+    # every slot index must point inside the reordered array
+    assert flat.max() < 333
+    assert sorted(cl.order.tolist()) == list(range(333))
+
+
 def test_transform_native_matches_python():
     if not accel.native_available() and not accel.build_native():
         pytest.skip("native lib unavailable")

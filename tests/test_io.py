@@ -85,6 +85,34 @@ def test_ppm_roundtrip(tmp_path):
     np.testing.assert_array_equal(back, img)
 
 
+def test_ppm_roundtrip_whitespace_pixels(tmp_path):
+    """First pixel bytes that are ASCII whitespace (0x09/0x0A/0x20) must
+    survive: the header parse reads exactly one byte after maxval."""
+    img = np.full((4, 5, 3), 10, np.uint8)   # 0x0A = '\n'
+    img[0, 0] = (32, 9, 13)                  # space, tab, CR
+    p = tmp_path / "ws.ppm"
+    save_ppm(p, img)
+    np.testing.assert_array_equal(load_ppm(p), img)
+
+
+def test_ppm_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.ppm"
+    p.write_bytes(b"P5 2 2 255\n\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        load_ppm(p)
+    p.write_bytes(b"P6 4 4 255\n\x00\x00")  # truncated
+    with pytest.raises(ValueError):
+        load_ppm(p)
+
+
+def test_cli_rejects_zero_time_seed():
+    from simple_raytracer_tpu.cli import build_parser
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["--config", "1", "--time-seed", "0"])
+    args = build_parser().parse_args(["--config", "1", "--time-seed", "7"])
+    assert args.time_seed == 7
+
+
 def test_scene_json_roundtrip(tmp_path):
     sc = Scene()
     m = sc.add_material(Material(color=(0.2, 0.3, 0.4), smoothness=0.5,

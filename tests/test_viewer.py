@@ -83,7 +83,44 @@ def test_input_resets_accumulation(server):
 def test_state_endpoint(server):
     srv, loop = server
     s = json.loads(_get(srv, "/state").read())
-    assert {"frame", "steps", "ms", "fps"} <= set(s)
+    assert {"frame", "steps", "ms", "fps", "resets", "error"} <= set(s)
+    assert s["error"] is None
     import urllib.error
     with pytest.raises(urllib.error.HTTPError):
         _get(srv, "/nonexistent")
+
+
+def test_state_surfaces_render_error(server):
+    srv, loop = server
+    loop.error = RuntimeError("boom")
+    s = json.loads(_get(srv, "/state").read())
+    assert "boom" in s["error"]
+    loop.error = None
+
+
+def test_screenshot_edge_triggered(server, tmp_path):
+    """One P press saves exactly one screenshot, from the render thread."""
+    srv, loop = server
+    loop.screenshot_path = str(tmp_path / "shot.ppm")
+    deadline = time.time() + 240
+    while loop.renderer.num_steps < 1 and time.time() < deadline:
+        assert loop.error is None, loop.error
+        time.sleep(0.2)
+    payload = {"keys": ["p"], "dx": 0, "dy": 0, "wheel": 0, "dt": 0.03}
+    _post(srv, "/input", payload)   # press
+    _post(srv, "/input", payload)   # still held: no second request
+    deadline = time.time() + 240
+    while loop.screenshot_count < 1 and time.time() < deadline:
+        assert loop.error is None, loop.error
+        time.sleep(0.1)
+    assert loop.screenshot_count == 1
+    from simple_raytracer_tpu.io.image import load_ppm
+    img = load_ppm(loop.screenshot_path)
+    assert img.shape == (24, 32, 3)
+    # release, press again -> second screenshot
+    _post(srv, "/input", {"keys": [], "dx": 0, "dy": 0, "wheel": 0, "dt": 0.03})
+    _post(srv, "/input", payload)
+    deadline = time.time() + 240
+    while loop.screenshot_count < 2 and time.time() < deadline:
+        time.sleep(0.1)
+    assert loop.screenshot_count == 2
