@@ -8,7 +8,11 @@ indices referencing from the end of the list.  Two deliberate fixes over
 the reference: its negative-index formula (``len - index + 1``,
 parser.cpp:117-120) indexes out of bounds (we use the standard
 ``len + index``), and faces without normal indices (uninitialized reads in
-the reference) fall back to the flat face normal.
+the reference) fall back to the flat face normal.  A third divergence:
+polygon faces with more than 3 vertices are fan-triangulated instead of
+silently dropping the extra vertices (the reference reads exactly 3 index
+groups per face, parser.cpp:95-113, corrupting quads).  Malformed
+statements raise ValueError with the offending line number.
 """
 from __future__ import annotations
 
@@ -49,29 +53,50 @@ def load_obj_model(path: os.PathLike,
     normals: List[np.ndarray] = []
     faces: List[List[Tuple[int, Optional[int]]]] = []
 
-    for line in lines:
+    for lineno, line in enumerate(lines, start=1):
         parts = line.split()
         if not parts or parts[0].startswith("#"):
             continue
         mode = parts[0]
-        if mode == "v":
-            vertices.append((float(parts[1]), float(parts[2]), float(parts[3])))
-        elif mode == "vn":
-            n = np.array([float(parts[1]), float(parts[2]), float(parts[3])],
-                         np.float32)
-            normals.append(n / np.linalg.norm(n))
-        elif mode == "f":
-            faces.append([_parse_index_group(t) for t in parts[1:4]])
-        # 's', 'vt', 'usemtl', ... ignored (parser.cpp:121-123)
+        try:
+            if mode == "v":
+                vertices.append(
+                    (float(parts[1]), float(parts[2]), float(parts[3])))
+            elif mode == "vn":
+                n = np.array([float(parts[1]), float(parts[2]),
+                              float(parts[3])], np.float32)
+                norm = np.linalg.norm(n)
+                normals.append(n / norm if norm > 0 else n)
+            elif mode == "f":
+                groups = [_parse_index_group(t) for t in parts[1:]]
+                if len(groups) < 3:
+                    raise ValueError("face needs at least 3 vertices")
+                # fan-triangulate polygons: (0, i, i+1) for each extra vertex
+                for i in range(1, len(groups) - 1):
+                    faces.append([groups[0], groups[i], groups[i + 1]])
+            # 's', 'vt', 'usemtl', ... ignored (parser.cpp:121-123)
+        except (ValueError, IndexError) as e:
+            raise ValueError(
+                f"{path}: malformed OBJ statement on line {lineno}: "
+                f"{line.strip()!r} ({e})") from None
 
     varr = np.asarray(vertices, np.float32).reshape(-1, 3)
     pos = np.zeros((len(faces), 3, 3), np.float32)
     nrm = np.zeros((len(faces), 3, 3), np.float32)
     for fi, face in enumerate(faces):
         for ci, (vi, ni) in enumerate(face):
-            pos[fi, ci] = varr[_adjust(vi, len(vertices))]
+            adj = _adjust(vi, len(vertices))
+            if not 0 <= adj < len(vertices):
+                raise ValueError(f"{path}: face vertex index {vi} out of "
+                                 f"range (file has {len(vertices)} vertices)")
+            pos[fi, ci] = varr[adj]
             if ni is not None:
-                nrm[fi, ci] = normals[_adjust(ni, len(normals))]
+                nadj = _adjust(ni, len(normals))
+                if not 0 <= nadj < len(normals):
+                    raise ValueError(
+                        f"{path}: face normal index {ni} out of range "
+                        f"(file has {len(normals)} normals)")
+                nrm[fi, ci] = normals[nadj]
         if any(ni is None for _, ni in face):
             e1 = pos[fi, 1] - pos[fi, 0]
             e2 = pos[fi, 2] - pos[fi, 0]

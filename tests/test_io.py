@@ -177,6 +177,122 @@ f 1 2 3
     np.testing.assert_array_equal(pool.positions[0, 1], [1, 0, 0])
 
 
+def test_obj_quad_fan_triangulated(tmp_path):
+    """A quad face becomes two triangles (0,1,2)+(0,2,3) — not a silently
+    corrupted triangle with the 4th vertex dropped."""
+    p = tmp_path / "quad.obj"
+    p.write_text("""
+v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+f 1 2 3 4
+""")
+    pool = TrianglePool()
+    span = load_obj_model(p, pool)
+    assert span == (0, 2)
+    np.testing.assert_array_equal(pool.positions[0],
+                                  [[0, 0, 0], [1, 0, 0], [1, 1, 0]])
+    np.testing.assert_array_equal(pool.positions[1],
+                                  [[0, 0, 0], [1, 1, 0], [0, 1, 0]])
+    # both fan triangles share the quad's plane normal
+    np.testing.assert_allclose(np.abs(pool.normals[:, 0, 2]), 1.0)
+
+
+def test_obj_pentagon_fan(tmp_path):
+    p = tmp_path / "pent.obj"
+    verts = "\n".join(f"v {np.cos(a)} {np.sin(a)} 0"
+                      for a in np.linspace(0, 2 * np.pi, 5, endpoint=False))
+    p.write_text(verts + "\nf 1 2 3 4 5\n")
+    pool = TrianglePool()
+    assert load_obj_model(p, pool) == (0, 3)
+
+
+@pytest.mark.parametrize("bad", [
+    "f 1 2\n",                       # face with < 3 vertices
+    "v 0 0\n",                       # vertex with < 3 coords
+    "v a b c\n",                     # non-numeric coords
+    "v 0 0 0\nf 1 2 3\n",            # face index out of range
+    "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1//9 2//9 3//9\n",  # normal OOB
+    "v 0 0 0\nv 1 0 0\nv 0 1 0\nf -7 2 3\n",          # negative OOB
+    "vn 0 0 1\nf 1//1 2//1 3//1\n",  # no vertices at all
+])
+def test_obj_malformed_raises(tmp_path, bad):
+    """Fuzz: malformed files fail loudly with a ValueError naming the file,
+    never a silent corruption or an uncaught IndexError."""
+    p = tmp_path / "bad.obj"
+    p.write_text(bad)
+    pool = TrianglePool()
+    with pytest.raises(ValueError):
+        load_obj_model(p, pool)
+
+
+def test_hdr_roundtrip(tmp_path):
+    """save_hdr/load_hdr round-trip: 8-bit mantissa -> <1% relative error
+    across a wide dynamic range."""
+    from simple_raytracer_tpu.io.image import load_hdr, save_hdr
+    rng = np.random.default_rng(11)
+    img = (rng.uniform(0.1, 1.0, (7, 16, 3)).astype(np.float32)
+           * np.float32(10.0) ** rng.integers(-3, 4, (7, 16, 1)))
+    img[0, 0] = 0.0  # black pixel -> E=0 path
+    p = tmp_path / "env.hdr"
+    save_hdr(p, img)
+    back = load_hdr(p)
+    assert back.shape == img.shape and back.dtype == np.float32
+    np.testing.assert_array_equal(back[0, 0], 0.0)
+    # RGBE shares one exponent across channels: error bound is relative to
+    # the per-pixel max component (8-bit mantissa -> ~0.4%)
+    maxc = img.max(axis=-1, keepdims=True)
+    rel = np.abs(back - img) / np.maximum(maxc, 1e-9)
+    assert rel.max() < 0.005
+
+
+def test_hdr_rle_runs(tmp_path):
+    """Hand-crafted new-style RLE scanline with an actual run (count>128)
+    decodes to the repeated value."""
+    w, h = 16, 1
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    scan = bytes([2, 2, w >> 8, w & 0xFF])
+    scan += bytes([128 + 16, 64])        # R: run of 16 x 64
+    scan += bytes([128 + 16, 0])         # G: run of 16 x 0
+    scan += bytes([8, *range(8), 8, *range(8)])  # B: two literal chunks
+    scan += bytes([128 + 16, 129])       # E: run of 16 x 129 -> scale 2^-7
+    p = tmp_path / "rle.hdr"
+    p.write_bytes(header + scan)
+    from simple_raytracer_tpu.io.image import load_hdr
+    img = load_hdr(p)
+    np.testing.assert_allclose(img[0, :, 0], 64 * 2.0 ** (129 - 136))
+    np.testing.assert_array_equal(img[0, :, 1], 0.0)
+    np.testing.assert_allclose(img[0, 3, 2], 3 * 2.0 ** (129 - 136))
+
+
+def test_hdr_flat_with_old_runs(tmp_path):
+    """Flat RGBE stream with an old-style (1,1,1,count) run."""
+    w, h = 4, 2   # w<8 -> flat decode path
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {h} +X {w}\n".encode()
+    px = bytes([100, 50, 25, 136])       # e=136 -> scale 2^(136-136) = 1
+    data = px + bytes([1, 1, 1, 7])      # run: repeat previous 7 times
+    p = tmp_path / "flat.hdr"
+    p.write_bytes(header + data)
+    from simple_raytracer_tpu.io.image import load_hdr
+    img = load_hdr(p)
+    assert img.shape == (2, 4, 3)
+    np.testing.assert_allclose(img.reshape(-1, 3),
+                               np.tile([[100.0, 50.0, 25.0]], (8, 1)))
+
+
+def test_skybox_dispatches_hdr(tmp_path):
+    from simple_raytracer_tpu.io.image import load_skybox, save_hdr
+    img = np.full((8, 16, 3), 2.5, np.float32)
+    img[0, :] = 7.0  # top row in file order
+    p = tmp_path / "sky.hdr"
+    save_hdr(p, img)
+    sky = load_skybox(p)
+    # bottom-up: file row 0 (7.0) must land at sky[-1]
+    np.testing.assert_allclose(sky[-1], img[0], rtol=0.01)
+    np.testing.assert_allclose(sky[0], img[-1], rtol=0.01)
+
+
 def test_cli_missing_scene_file_is_friendly(capsys):
     from simple_raytracer_tpu.cli import main
     rc = main(["--scene", "/nonexistent/scene.json", "--out", "/tmp/x.png"])
