@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Headline benchmark: Mrays/sec/chip at 4-bounce (BASELINE.md target: 100).
 
-Renders the four-sphere materials scene (BASELINE config 2) at 1080p,
-1 sample/pixel/pass, 4 bounces, and reports steady-state throughput in
-million ray segments per second (W*H*samples*bounces / step time) on the
-current default JAX device.  Prints exactly one JSON line.
+Measures ALL FIVE BASELINE configs at 1080p, 1 sample/pixel/pass,
+4 bounces, and reports steady-state throughput in million ray segments
+per second (W*H*samples*bounces / step time) on the current default JAX
+device.  The headline metric stays config 2 (four-sphere materials) for
+round-to-round continuity; the per-config numbers live in "extra" so the
+weak axis (mesh scenes, configs 4/5) is captured too.  Prints exactly one
+JSON line.
 """
 import json
 import sys
@@ -13,29 +16,44 @@ import time
 import jax
 
 
-def main():
+def bench_config(n: int, width=1920, height=1080, samples=1, bounces=4,
+                 iters=10, warmup=3) -> dict:
     from simple_raytracer_tpu.engine import Renderer, RenderOptions
-    from simple_raytracer_tpu.models.presets import config2_four_spheres
+    from simple_raytracer_tpu.models.presets import CONFIGS
 
-    width, height, samples, bounces = 1920, 1080, 1, 4
-    scene, camera, _ = config2_four_spheres()
+    scene, camera, _ = CONFIGS[n]()
     options = RenderOptions(width=width, height=height, num_samples=samples,
                             num_bounces=bounces)
     r = Renderer(options, scene=scene)
+    stats = r.benchmark_step(camera, iters=iters, warmup=warmup)
+    return {
+        "mrays_per_second": round(stats["mrays_per_second"], 2),
+        "seconds_per_step": round(stats["seconds_per_step"], 5),
+        "vs_baseline": round(stats["mrays_per_second"] / 100.0, 3),
+    }
 
-    stats = r.benchmark_step(camera, iters=10, warmup=3)
-    mrays = stats["mrays_per_second"]
-    spp_1080p = stats["spp_per_second"]
+
+def main():
+    per_config = {}
+    for n in (1, 2, 3, 4, 5):
+        per_config[f"config{n}"] = bench_config(n)
+
+    headline = per_config["config2"]
+    mrays = headline["mrays_per_second"]
+    spp_1080p = mrays * 1e6 / (1920 * 1080 * 4)
 
     result = {
         "metric": "Mrays/sec/chip (4-bounce, 1080p, four-sphere scene)",
-        "value": round(mrays, 2),
+        "value": mrays,
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 3),
         "extra": {
             "spp_per_second_1080p": round(spp_1080p, 2),
-            "seconds_per_step": round(stats["seconds_per_step"], 5),
+            "seconds_per_step": headline["seconds_per_step"],
             "device": str(jax.devices()[0]),
+            "configs_1080p_1spp_4bounce": per_config,
+            "min_config_mrays": min(c["mrays_per_second"]
+                                    for c in per_config.values()),
         },
     }
     print(json.dumps(result))

@@ -33,7 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-path", default=None,
                    help="STL/OBJ file for mesh configs (4/5)")
     p.add_argument("--skybox", default=None, help="equirect skybox image file")
-    p.add_argument("--tri-backend", choices=["auto", "jnp", "pallas", "clustered"],
+    p.add_argument("--tri-backend",
+                   choices=["auto", "jnp", "pallas", "bvh", "clustered"],
                    default="auto", help="triangle intersection backend")
     def _positive_seed(v):
         iv = int(v)

@@ -38,7 +38,7 @@ class RenderOptions:
     num_bounces: int = 10
     show_normals: bool = False
     tri_chunk: int = 256
-    tri_backend: str = "auto"  # "auto" | "jnp" | "pallas" | "clustered"
+    tri_backend: str = "auto"  # "auto"|"jnp"|"pallas"|"bvh"|"clustered"
     # screen-tile ray ordering (th, tw) for packet-coherent ray blocks;
     # None = row-major; "auto" tiles 8x64 when the image divides evenly.
     # A pure permutation: output is identical either way.

@@ -63,9 +63,14 @@ class Scene:
     """Mutable scene: primitive lists + shared triangle pool + materials."""
 
     # meshes at or above this triangle count get BVH clusters baked for
-    # the packet-culling kernel; smaller ones stay dense
+    # the packet-culling kernels; smaller ones stay dense.  Scenes whose
+    # padded cluster table fits VMEM use fine clusters (vmem_cluster_size)
+    # plus the transposed table for the VMEM-resident kernel; larger
+    # scenes use coarse clusters for the HBM/DMA kernel.
     cluster_threshold: int = 512
-    cluster_size: int = 1024
+    cluster_size: int = 1024           # HBM/DMA kernel cluster size
+    vmem_cluster_size: int = 128       # VMEM kernel cluster size
+    vmem_table_slots: int = 8192       # max padded slots kept in VMEM (4 MB)
 
     def __init__(self, default_material: bool = True):
         self.spheres: List[Sphere] = []
@@ -241,7 +246,13 @@ class Scene:
         clusters_soa = None
         if n >= self.cluster_threshold:
             from .. import accel
-            cl = accel.build_clusters(pos, k=self.cluster_size)
+            # try fine clusters for the VMEM kernel first; fall back to
+            # coarse clusters for the HBM/DMA kernel when the padded table
+            # would not fit the VMEM budget
+            cl = accel.build_clusters(pos, k=self.vmem_cluster_size)
+            vmem_ok = cl.slots.size <= self.vmem_table_slots
+            if not vmem_ok:
+                cl = accel.build_clusters(pos, k=self.cluster_size)
             perm = cl.order
             pos, nrm, mat = pos[perm], nrm[perm], mat[perm]
             e1 = pos[:, 1] - pos[:, 0]
@@ -256,8 +267,23 @@ class Scene:
             table[6:9] = e2[si].reshape(c * k, 3).T
             table[9] = valid.reshape(-1).astype(np.float32)
             table[10] = si.reshape(-1).astype(np.float32)  # global index
+            table_t = None
+            if vmem_ok:
+                # VMEM kernel layout (bvh_kernel.py): transposed, with the
+                # 19 shading attributes CONTIGUOUS in cols 0..18 so the
+                # kernel can extract the winner's row with one matmul:
+                #   0-8 v0/e1/e2, 9-17 n0/n1/n2, 18 material,
+                #   19 active, 20 global index (f32)
+                table_t = np.zeros((c * k, 32), np.float32)
+                table_t[:, 0:9] = table[0:9].T
+                table_t[:, 9:18] = nrm[si].reshape(c * k, 9)
+                table_t[:, 18] = mat[si].reshape(-1).astype(np.float32)
+                table_t[:, 19] = table[9]    # active
+                table_t[:, 20] = table[10]   # global index
+                table_t = jnp.asarray(table_t)
             clusters_soa = TriangleClustersSoA(
-                aabb=jnp.asarray(cl.aabb), table=jnp.asarray(table))
+                aabb=jnp.asarray(cl.aabb), table=jnp.asarray(table),
+                table_t=table_t)
 
         cap = _bucket(n)
         pad = cap - n

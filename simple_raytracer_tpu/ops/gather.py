@@ -29,7 +29,15 @@ def onehot_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def table_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row fetch with the TPU-appropriate strategy by table size."""
+    """Row fetch with the TPU-appropriate strategy by table size.
+
+    Beware the consumers: an (R, F) result with small F is lane-padded to
+    (R, 128) physically, and when XLA unfuses the column-slice consumers,
+    each re-scans the whole padded buffer (measured 5.7 ms PER COLUMN at
+    R=2M, F=20 on the mesh shading path — an explicit transpose doesn't
+    help, XLA folds it back into a bitcast).  Hot paths that need many
+    fields per row should produce them in (F, R) orientation at the
+    source instead, as the BVH kernel does for triangle shading."""
     if table.shape[0] <= ONEHOT_MAX_ROWS:
         return onehot_gather(table, idx)
     return table[idx]

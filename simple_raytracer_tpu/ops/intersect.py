@@ -174,9 +174,14 @@ def barycentric_weights(v0: Vec3, v1: Vec3, v2: Vec3, p: Vec3):
     """Mirrors barycentric_weights (render.cl:223-241) including the
     (w2, w0, w1) result rotation.  Returns the weight triple (wx, wy, wz)
     to pair with vertex normals (n0, n1, n2) in that order."""
-    a = v1 - v0
-    b = v2 - v0
-    c = p - v0
+    return barycentric_weights_from_edges(v1 - v0, v2 - v0, p - v0)
+
+
+def barycentric_weights_from_edges(a: Vec3, b: Vec3, c: Vec3):
+    """barycentric_weights with the edge vectors precomputed (a = v1-v0,
+    b = v2-v0, c = p-v0) — the BVH kernel returns edges, and the scene
+    build computes them with the same f32 subtraction, so both paths are
+    bit-identical."""
     d00 = dot(a, a)
     d01 = dot(a, b)
     d11 = dot(b, b)
@@ -193,9 +198,13 @@ def _tri_backend_auto(scene: DeviceScene) -> str:
     # Measured on TPU v5e: XLA's fused brute-force loop runs at ~54
     # Gtests/s (VPU-bound) and BEATS the blockwise Pallas kernel (~48) on
     # the same algorithm, so dense scenes keep the jnp path.  When the
-    # scene build baked BVH clusters, the packet-culling kernel wins by
-    # skipping work the dense path must execute.
+    # scene build baked BVH clusters, the packet-culling kernels win by
+    # skipping work the dense path must execute: the VMEM-resident "bvh"
+    # kernel (12x dense on config 4 primaries) when the table fits VMEM,
+    # the HBM/DMA "clustered" kernel otherwise.
     if scene.triangles.clusters is not None and jax.default_backend() == "tpu":
+        if scene.triangles.clusters.table_t is not None:
+            return "bvh"
         return "clustered"
     return "jnp"
 
@@ -211,9 +220,9 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
     order; exact ties are measure-zero).
 
     tri_backend: "jnp" (fused XLA loop), "pallas" (blockwise TPU kernel),
-    "clustered" (BVH packet-culling TPU kernel), or "auto".  `alive` is an
-    optional (R,) bool mask letting the clustered kernel skip fully-dead
-    ray blocks."""
+    "bvh" (VMEM-resident packet-culling TPU kernel), "clustered" (HBM/DMA
+    packet-culling TPU kernel), or "auto".  `alive` is an optional (R,)
+    bool mask letting the culling kernels skip fully-dead ray blocks."""
     if tri_backend == "auto":
         tri_backend = _tri_backend_auto(scene)
     inf = jnp.full_like(o.x, jnp.inf)
@@ -231,8 +240,21 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         t_p, i_p = intersect_planes(o, d, scene.planes)
     else:
         t_p, i_p = inf, zero_i
+    tri_attrs = None
     if not has_tris:
         t_t, i_t = inf, zero_i
+    elif tri_backend == "bvh" and scene.triangles.clusters is not None \
+            and scene.triangles.clusters.table_t is not None:
+        from .pallas.bvh_kernel import intersect_triangles_bvh
+        alive_f = (jnp.ones_like(o.x) if alive is None
+                   else alive.astype(jnp.float32))
+        cl = scene.triangles.clusters
+        # seed the slab far bound with the best sphere/plane hit so
+        # clusters behind a known hit are culled (render.cl:319 semantics)
+        t_seed = jnp.minimum(t_s, t_p)
+        t_t, i_t, tri_attrs = intersect_triangles_bvh(
+            o, d, alive_f, t_seed, cl.aabb, cl.table_t, with_attrs=True)
+        i_t = jnp.maximum(i_t, 0)   # -1 (no win) -> any index; t is +inf
     elif tri_backend == "clustered" and scene.triangles.clusters is not None:
         from .pallas.cluster_kernel import intersect_triangles_clustered
         alive_f = (jnp.ones_like(o.x) if alive is None
@@ -296,16 +318,29 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         normal = normal * jnp.where(front, 1.0, -1.0)
         return Hit(hit=hit, t=t, position=position, normal=normal,
                    front=front, material=material)
-    trow = table_gather(scene.triangles.shade, i_t)
-    tv0 = Vec3(trow[:, 0], trow[:, 1], trow[:, 2])
-    tv1 = Vec3(trow[:, 3], trow[:, 4], trow[:, 5])
-    tv2 = Vec3(trow[:, 6], trow[:, 7], trow[:, 8])
-    wx, wy, wz = barycentric_weights(tv0, tv1, tv2, position)
-    n_tri = (Vec3(trow[:, 9], trow[:, 10], trow[:, 11]) * wx
-             + Vec3(trow[:, 12], trow[:, 13], trow[:, 14]) * wy
-             + Vec3(trow[:, 15], trow[:, 16], trow[:, 17]) * wz)
-    n_tri = normalize(n_tri)
-    tri_material = trow[:, 18]
+    if tri_attrs is not None:
+        # winner attributes came straight out of the BVH kernel as dense
+        # (19, R) rows: [v0, e1, e2, n0, n1, n2, material]
+        tv0 = Vec3(tri_attrs[0], tri_attrs[1], tri_attrs[2])
+        ea = Vec3(tri_attrs[3], tri_attrs[4], tri_attrs[5])
+        eb = Vec3(tri_attrs[6], tri_attrs[7], tri_attrs[8])
+        wx, wy, wz = barycentric_weights_from_edges(ea, eb, position - tv0)
+        n_tri = (Vec3(tri_attrs[9], tri_attrs[10], tri_attrs[11]) * wx
+                 + Vec3(tri_attrs[12], tri_attrs[13], tri_attrs[14]) * wy
+                 + Vec3(tri_attrs[15], tri_attrs[16], tri_attrs[17]) * wz)
+        n_tri = normalize(n_tri)
+        tri_material = tri_attrs[18]
+    else:
+        trow = table_gather(scene.triangles.shade, i_t)
+        tv0 = Vec3(trow[:, 0], trow[:, 1], trow[:, 2])
+        tv1 = Vec3(trow[:, 3], trow[:, 4], trow[:, 5])
+        tv2 = Vec3(trow[:, 6], trow[:, 7], trow[:, 8])
+        wx, wy, wz = barycentric_weights(tv0, tv1, tv2, position)
+        n_tri = (Vec3(trow[:, 9], trow[:, 10], trow[:, 11]) * wx
+                 + Vec3(trow[:, 12], trow[:, 13], trow[:, 14]) * wy
+                 + Vec3(trow[:, 15], trow[:, 16], trow[:, 17]) * wz)
+        n_tri = normalize(n_tri)
+        tri_material = trow[:, 18]
 
     normal = vwhere(is_s, n_sph, vwhere(is_p, n_pln, n_tri))
     material = jnp.where(

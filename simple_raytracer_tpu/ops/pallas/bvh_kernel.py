@@ -1,0 +1,297 @@
+"""Pallas TPU kernel: BVH-clustered ray x triangle intersection with an
+XLA-side visit prepass and a VMEM-resident triangle table.
+
+Second-generation mesh kernel (the first is cluster_kernel.py).  Four
+structural changes, each fixing a measured round-1/round-2 bottleneck:
+
+1. **Visit decisions move OUT of the kernel.**  The per-(ray, cluster)
+   slab test runs as ordinary fused XLA ops in (C, R) orientation —
+   clusters on sublanes, rays on lanes — and reduces to a per-(ray-block,
+   cluster) visit bitmask + count that enter the kernel as SMEM scalars.
+   In-kernel per-cluster slab tests on (BR, 1) vectors waste 127/128 VPU
+   lanes (~0.8 us per cluster per block); the dense XLA slab runs at full
+   lane width and fuses.  (A lane-wide in-kernel slab is blocked by
+   Mosaic: dynamic lane slices must be 128-aligned, so a (BR, C) mask
+   cannot be column-sliced per cluster.)
+
+2. **The triangle table lives in VMEM for the whole kernel.**  The
+   round-1 kernel DMA'd each visited cluster's tile from HBM and waited
+   on it serially (~2 us latency per visit, which forced K=1024 and made
+   culling coarse).  Small-to-mid meshes fit in VMEM outright, so a
+   visited tile is an aligned slice — no DMA, no wait, and K drops to
+   128 for 8x finer culling.  Larger scenes keep cluster_kernel.py.
+
+3. **The slab far bound is seeded with the ray's current best t**
+   (sphere/plane hits from the dense pass), so secondary rays that hit
+   the ground plane cull every cluster behind it — the reference's
+   tmax=tmin argument (render.cl:319) carried across primitive types.
+
+4. **Every array is in a dense transposed layout.**  (N, 8)-style arrays
+   pad their minor dim to 128 lanes on TPU (16x physical inflation), and
+   profiling showed the padded ray/output copies alone cost more than the
+   intersection math.  Rays are (8, R), the output is (2, R), per-ray
+   running state is (1, BR), and Moller-Trumbore runs in (K, BR)
+   orientation with triangle attributes as (K, 1) sublane columns sliced
+   straight from a (C*K, 16) table.
+
+Culling is conservative exactly like the reference's AABB gate
+(render.cl:316-331): a cluster is visited if ANY ray in the block might
+hit it, NaN slab results count as hits, and misses only skip work —
+results are bit-identical to the brute-force path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..vec import Vec3
+
+
+def _visit_prepass(o, d, alive, t_init, aabb: jnp.ndarray, block_r: int,
+                   pad_r: int):
+    """Rays x (C, 8) cluster AABBs -> per-block visit bitmask.
+
+    Returns (visits (B, W) i32 bit-packed, counts (B,) i32).  A cluster is
+    visited by a block iff some live ray's slab interval [near, far) is
+    nonempty, with far capped by the ray's incoming best t.  The slab math
+    mirrors intersection_aabb (render.cl:279-290); `~(near >= far)` keeps
+    NaN results conservative (counted as hits).
+
+    Everything is computed in (C, R) orientation — clusters on sublanes,
+    rays on lanes — so the per-block reduction is a minor-axis reshape +
+    lane reduce.  The (R, C) orientation costs two multi-ms layout-moving
+    reshapes at 1080p (profiled); this one fuses completely."""
+    pad = lambda v: jnp.pad(v, (0, pad_r))
+    ox, oy, oz = pad(o.x)[None], pad(o.y)[None], pad(o.z)[None]   # (1, R)
+    inx = 1.0 / pad(d.x)[None]
+    iny = 1.0 / pad(d.y)[None]
+    inz = 1.0 / pad(d.z)[None]
+    live = pad(alive)[None] > 0.0
+    t_best = pad(t_init)[None]
+
+    col = lambda j: aabb[:, j][:, None]                           # (C, 1)
+    t1x = (col(0) - ox) * inx
+    t2x = (col(3) - ox) * inx
+    t1y = (col(1) - oy) * iny
+    t2y = (col(4) - oy) * iny
+    t1z = (col(2) - oz) * inz
+    t2z = (col(5) - oz) * inz
+    near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                   jnp.minimum(t1y, t2y)),
+                       jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
+    far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                  jnp.maximum(t1y, t2y)),
+                      jnp.minimum(jnp.maximum(t1z, t2z), t_best))
+    maybe = jnp.logical_not(near >= far) & live                   # (C, R)
+
+    c, r = maybe.shape
+    n_blocks = r // block_r
+    visits_t = maybe.reshape(c, n_blocks, block_r).any(axis=2)    # (C, B)
+    counts = visits_t.sum(axis=0, dtype=jnp.int32)
+    # pack into per-block i32 bitmask words (SMEM is ~1 MB and mostly
+    # reserved; a (B, C) i32 table overflows it at 1080p block counts)
+    n_words = (c + 31) // 32
+    pad_c = n_words * 32 - c
+    bits = jnp.pad(visits_t, ((0, pad_c), (0, 0))).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << (jnp.arange(n_words * 32, dtype=jnp.uint32)
+                                 % 32)).reshape(n_words, 32)
+    packed = (bits.reshape(n_words, 32, n_blocks) * weights[:, :, None]
+              ).sum(axis=1, dtype=jnp.uint32).T.astype(jnp.int32)
+    return packed, counts
+
+
+# table_t column layout (scene build bakes this order):
+#   0-2 v0.xyz, 3-5 e1.xyz, 6-8 e2.xyz, 9-17 n0/n1/n2 vertex normals,
+#   18 material index (f32), 19 active, 20 global index (f32)
+_N_ATTRS = 19   # cols 0..18, returned for the winning triangle
+
+
+def _kernel(visit, count, rays, table_t, out, t_scr, idx_scr, attr_scr,
+            *, block_l, n_clusters, with_attrs):
+    b = pl.program_id(0)     # visit/count are whole SMEM arrays (block
+    t_scr[...] = rays[7:8, :]                      # tables), indexed per block
+    idx_scr[...] = jnp.full(idx_scr.shape, -1, jnp.int32)
+    if with_attrs:
+        attr_scr[...] = jnp.zeros(attr_scr.shape, jnp.float32)
+
+    rox = rays[0:1, :]
+    roy = rays[1:2, :]
+    roz = rays[2:3, :]
+    rdx = rays[3:4, :]
+    rdy = rays[4:5, :]
+    rdz = rays[5:6, :]
+
+    def visit_cluster(c, _):
+        word = visit[b, c // 32]
+        bit = (word >> (c % 32)) & 1
+
+        @pl.when(bit > 0)
+        def _():
+            row0 = pl.multiple_of(c * block_l, block_l)
+            sl = lambda j: table_t[pl.ds(row0, block_l), j:j + 1]  # (K, 1)
+            v0x = sl(0)
+            v0y = sl(1)
+            v0z = sl(2)
+            e1x = sl(3)
+            e1y = sl(4)
+            e1z = sl(5)
+            e2x = sl(6)
+            e2y = sl(7)
+            e2z = sl(8)
+            act = sl(19)
+            gidx = sl(20)                           # global index as f32
+
+            # Moller-Trumbore (render.cl:243-275) in (K, BR) orientation
+            hx = rdy * e2z - rdz * e2y
+            hy = rdz * e2x - rdx * e2z
+            hz = rdx * e2y - rdy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = rox - v0x
+            sy = roy - v0y
+            sz = roz - v0z
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (rdx * qx + rdy * qy + rdz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            valid = (
+                (a != 0.0)
+                & (u >= 0.0) & (u <= 1.0)
+                & (v >= 0.0) & (u + v <= 1.0)
+                & (t > 0.0)
+                & (act > 0.0)
+            )
+            t = jnp.where(valid, t, jnp.inf)
+            local_t = jnp.min(t, axis=0, keepdims=True)           # (1, BR)
+            local_if = jnp.min(
+                jnp.where(t == local_t, gidx, jnp.float32(2e9)),
+                axis=0, keepdims=True)
+            better = local_t < t_scr[...]
+            t_scr[...] = jnp.where(better, local_t, t_scr[...])
+            idx_scr[...] = jnp.where(better, local_if.astype(jnp.int32),
+                                     idx_scr[...])
+
+            if with_attrs:
+                # winner's shading attributes, extracted HERE: any
+                # post-kernel row gather of (R, F) shading data re-scans
+                # its 128-lane-padded buffer once per consumed column
+                # (measured 5.7 ms/column at 1080p, and XLA folds explicit
+                # transposes back into bitcasts).  `sel` is a one-hot over
+                # the tile (winner matched by unique global index), so a
+                # single MXU contraction (19, K) x (K, BR) reproduces the
+                # attribute row exactly — 0/1 weights select one table
+                # entry per ray with no rounding.
+                sel = jnp.where((t == local_t) & (gidx == local_if),
+                                1.0, 0.0)
+                tile_attr = table_t[pl.ds(row0, block_l), 0:_N_ATTRS]
+                new_attr = jax.lax.dot_general(
+                    tile_attr, sel, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)      # (19, BR)
+                attr_scr[...] = jnp.where(better, new_attr, attr_scr[...])
+
+        return 0
+
+    @pl.when(count[b] > 0)
+    def _():
+        jax.lax.fori_loop(0, n_clusters, visit_cluster, 0)
+
+    # packed output rows: [t (inf when no triangle won), idx bits,
+    #                      19 winner attributes when with_attrs]
+    no_win = idx_scr[...] < 0
+    t_out = jnp.where(no_win, jnp.float32(jnp.inf), t_scr[...])
+    rows = [t_out, pltpu.bitcast(idx_scr[...], jnp.float32)]
+    if with_attrs:
+        rows.append(attr_scr[...])
+    out[...] = jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_r", "interpret", "with_attrs"))
+def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
+                            t_init: jnp.ndarray, aabb: jnp.ndarray,
+                            table_t: jnp.ndarray, block_r: int = 1536,
+                            interpret: bool = False,
+                            with_attrs: bool = False):
+    """(R,) rays x clustered triangles -> nearest-hit per ray.
+
+    `alive`: (R,) f32 mask — dead rays generate no cluster visits.
+    `t_init`: (R,) f32 — current best t from other primitive types; the
+    kernel only reports triangle hits strictly closer than this.
+    `aabb`: (C, 8) f32, `table_t`: (C*K, 32) f32 from the scene build.
+    Returns (t_best (R,), idx_best (R,) i32) with idx == -1 and t == +inf
+    where no triangle won; with_attrs=True additionally returns the
+    winner's (19, R) shading attributes [v0, e1, e2, n0, n1, n2, mat]."""
+    n_rays = o.x.shape[0]
+    n_clusters = aabb.shape[0]
+    block_l = table_t.shape[0] // max(n_clusters, 1)
+    n_out = 2 + (_N_ATTRS if with_attrs else 0)
+
+    # Mosaic charges ~0.5 KB of scoped SMEM per grid step and v5e SMEM is
+    # 1 MB, so one call is capped at ~1600 blocks; larger ray batches run
+    # as a few sequential calls (unrolled here — shapes stay static).
+    max_blocks = 1600
+    if (n_rays + block_r - 1) // block_r > max_blocks:
+        chunk = max_blocks * block_r
+        parts = []
+        for s in range(0, n_rays, chunk):
+            e = min(s + chunk, n_rays)
+            sl = slice(s, e)
+            parts.append(intersect_triangles_bvh(
+                Vec3(o.x[sl], o.y[sl], o.z[sl]),
+                Vec3(d.x[sl], d.y[sl], d.z[sl]),
+                alive[sl], t_init[sl], aabb, table_t,
+                block_r=block_r, interpret=interpret,
+                with_attrs=with_attrs))
+        return tuple(jnp.concatenate([p[i] for p in parts], axis=-1)
+                     for i in range(len(parts[0])))
+
+    pad_r = (-n_rays) % block_r
+
+    def row(c, fill=0.0):
+        return jnp.pad(c, (0, pad_r), constant_values=fill)
+
+    rays = jnp.stack([row(o.x), row(o.y), row(o.z), row(d.x), row(d.y),
+                      row(d.z), row(alive), row(t_init)], axis=0)
+
+    rp = n_rays + pad_r
+    grid = (rp // block_r,)
+    visits, counts = _visit_prepass(o, d, alive, t_init, aabb, block_r,
+                                    pad_r)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, block_l=block_l, n_clusters=n_clusters,
+                          with_attrs=with_attrs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, block_r), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            # whole triangle table resident in VMEM for every block
+            pl.BlockSpec((table_t.shape[0], table_t.shape[1]),
+                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_out, block_r), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_out, rp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, block_r), jnp.float32),
+            pltpu.VMEM((1, block_r), jnp.int32),
+            pltpu.VMEM((_N_ATTRS if with_attrs else 1, block_r),
+                       jnp.float32),
+        ],
+        interpret=interpret,
+    )(visits, counts, rays, table_t)
+
+    t_best = out[0, :n_rays]
+    idx = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)
+    if with_attrs:
+        return t_best, idx, out[2:, :n_rays]
+    return t_best, idx

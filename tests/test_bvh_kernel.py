@@ -1,0 +1,185 @@
+"""VMEM-resident BVH kernel (bvh_kernel.py) parity vs the dense jnp path.
+
+Runs the kernel in interpret mode on the CPU mesh; the same assertions
+hold compiled on TPU (checked bit-exact in round-2 bring-up)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from simple_raytracer_tpu.models import Scene
+from simple_raytracer_tpu.models.meshgen import icosphere
+from simple_raytracer_tpu.ops.intersect import intersect_triangles
+from simple_raytracer_tpu.ops.pallas.bvh_kernel import (
+    _N_ATTRS, intersect_triangles_bvh)
+from simple_raytracer_tpu.ops.vec import Vec3
+
+
+def _mesh_scene():
+    pos, nrm = icosphere(subdivisions=2)  # 320 tris
+    sc = Scene()
+    sc.cluster_threshold = 64
+    sc.vmem_cluster_size = 128
+    span = sc.pool.append(pos, nrm)
+    sc.add_model(span)
+    return sc.build()
+
+
+def _rays(n, seed=1):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (Vec3.from_array(jnp.asarray(o)), Vec3.from_array(jnp.asarray(d)))
+
+
+def test_bvh_matches_dense():
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    assert cl is not None and cl.table_t is not None
+    o, d = _rays(700)
+    t_ref, i_ref = intersect_triangles(o, d, ds.triangles, chunk=4096)
+    alive = jnp.ones_like(o.x)
+    t_init = jnp.full_like(o.x, jnp.inf)
+    t_k, i_k = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                       cl.table_t, block_r=128,
+                                       interpret=True)
+    t_ref, t_k = np.asarray(t_ref), np.asarray(t_k)
+    hit = np.isfinite(t_ref)
+    np.testing.assert_array_equal(hit, np.asarray(i_k) >= 0)
+    # CPU interpret mode and the dense XLA path contract FMAs differently
+    # (1-ulp t differences); compiled on TPU the two are bit-exact
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_k)[hit],
+                                  np.asarray(i_ref)[hit])
+
+
+def test_bvh_t_init_culls_but_preserves_closer_hits():
+    """With a finite t_init, hits beyond it are suppressed and hits closer
+    than it are reported identically."""
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    o, d = _rays(512, seed=3)
+    alive = jnp.ones_like(o.x)
+    t_ref, i_ref = intersect_triangles(o, d, ds.triangles, chunk=4096)
+    t_ref_np = np.asarray(t_ref)
+    t_init = jnp.full_like(o.x, 2.0)
+    t_k, i_k = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                       cl.table_t, block_r=128,
+                                       interpret=True)
+    t_k, i_k = np.asarray(t_k), np.asarray(i_k)
+    wins = t_ref_np < 2.0
+    np.testing.assert_array_equal(wins, i_k >= 0)
+    np.testing.assert_allclose(t_k[wins], t_ref_np[wins], rtol=1e-5)
+    assert np.isinf(t_k[~wins]).all()
+
+
+def test_bvh_winner_attributes_match_table():
+    """with_attrs returns exactly the winning triangle's shading row."""
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    o, d = _rays(384, seed=5)
+    alive = jnp.ones_like(o.x)
+    t_init = jnp.full_like(o.x, jnp.inf)
+    t_k, i_k, attrs = intersect_triangles_bvh(
+        o, d, alive, t_init, cl.aabb, cl.table_t, block_r=128,
+        interpret=True, with_attrs=True)
+    i_k = np.asarray(i_k)
+    attrs = np.asarray(attrs)
+    assert attrs.shape == (_N_ATTRS, o.x.shape[0])
+    table_t = np.asarray(cl.table_t)
+    hit = i_k >= 0
+    # table rows are keyed by global triangle index (column 20)
+    gidx = table_t[:, 20].astype(np.int64)
+    act = table_t[:, 19] > 0
+    row_of = {g: r for r, g in enumerate(gidx) if act[r]}
+    for r in np.nonzero(hit)[0][:50]:
+        np.testing.assert_array_equal(attrs[:, r],
+                                      table_t[row_of[i_k[r]], :_N_ATTRS])
+
+
+def test_bvh_dead_rays_no_win():
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    o, d = _rays(256)
+    alive = jnp.zeros_like(o.x)
+    t_k, i_k = intersect_triangles_bvh(o, d, alive,
+                                       jnp.full_like(o.x, jnp.inf),
+                                       cl.aabb, cl.table_t, block_r=128,
+                                       interpret=True)
+    assert np.isinf(np.asarray(t_k)).all()
+    assert (np.asarray(i_k) == -1).all()
+
+
+def test_bvh_rays_from_inside_mesh():
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    rng = np.random.default_rng(9)
+    o_arr = rng.normal(size=(300, 3)).astype(np.float32)
+    o_arr /= np.linalg.norm(o_arr, axis=1, keepdims=True)
+    d_arr = rng.normal(size=(300, 3)).astype(np.float32)
+    d_arr /= np.linalg.norm(d_arr, axis=1, keepdims=True)
+    o = Vec3.from_array(jnp.asarray(o_arr * 0.999))
+    d = Vec3.from_array(jnp.asarray(d_arr))
+    t_ref, i_ref = intersect_triangles(o, d, ds.triangles, chunk=4096)
+    alive = jnp.ones_like(o.x)
+    t_k, i_k = intersect_triangles_bvh(o, d, alive,
+                                       jnp.full_like(o.x, jnp.inf),
+                                       cl.aabb, cl.table_t, block_r=128,
+                                       interpret=True)
+    t_ref, t_k = np.asarray(t_ref), np.asarray(t_k)
+    hit = np.isfinite(t_ref)
+    np.testing.assert_array_equal(hit, np.isfinite(t_k))
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5)
+
+
+def test_scene_build_table_t_layout():
+    """Scene.build bakes the documented column layout into table_t."""
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    tt = np.asarray(cl.table_t)
+    assert tt.shape[1] == 32
+    act = tt[:, 19] > 0
+    gidx = tt[act, 20].astype(np.int64)
+    v0 = np.stack([np.asarray(ds.triangles.v0.x), np.asarray(ds.triangles.v0.y),
+                   np.asarray(ds.triangles.v0.z)], axis=-1)
+    v1 = np.stack([np.asarray(ds.triangles.v1.x), np.asarray(ds.triangles.v1.y),
+                   np.asarray(ds.triangles.v1.z)], axis=-1)
+    n0x = np.asarray(ds.triangles.n0.x)
+    np.testing.assert_array_equal(tt[act, 0:3], v0[gidx])
+    np.testing.assert_array_equal(tt[act, 3:6], (v1 - v0)[gidx])
+    np.testing.assert_array_equal(tt[act, 9], n0x[gidx])
+    np.testing.assert_array_equal(
+        tt[act, 18], np.asarray(ds.triangles.material)[gidx].astype(np.float32))
+
+
+def test_end_to_end_bvh_render_matches_jnp():
+    """Full render through the engine: bvh backend == jnp backend
+    (bit-exact — same formulas, same f32 inputs)."""
+    from simple_raytracer_tpu import Renderer, RenderOptions
+    from simple_raytracer_tpu.models.presets import config4_mesh_glass
+
+    scene, camera, _ = config4_mesh_glass(width=48, height=32)
+    opts_j = RenderOptions(width=48, height=32, num_samples=1, num_bounces=3,
+                           tri_backend="jnp")
+    r1 = Renderer(opts_j, scene=scene)
+    r1.step(camera, time=9)
+
+    import simple_raytracer_tpu.ops.pallas.bvh_kernel as bk
+    orig = bk.intersect_triangles_bvh
+
+    def interp(o, d, alive, t_init, aabb, table_t, block_r=1536,
+               interpret=False, with_attrs=False):
+        return orig(o, d, alive, t_init, aabb, table_t, block_r=128,
+                    interpret=True, with_attrs=with_attrs)
+
+    bk.intersect_triangles_bvh = interp
+    try:
+        opts_b = RenderOptions(width=48, height=32, num_samples=1,
+                               num_bounces=3, tri_backend="bvh")
+        r2 = Renderer(opts_b, scene=scene)
+        r2.step(camera, time=9)
+    finally:
+        bk.intersect_triangles_bvh = orig
+
+    a, b = np.asarray(r1.canvas), np.asarray(r2.canvas)
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
