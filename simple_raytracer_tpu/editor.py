@@ -1,0 +1,371 @@
+"""Scene editor: the ImGui editor's verbs as a JSON command surface.
+
+The reference's editor windows (src/interface.cpp:106-480 — shape list
+with add/duplicate/delete/select and material assignment, model-import
+popup with error display, material editor with 8 sliders + conditional
+IOR + rename/delete, scene lighting editor, render params) mutate host
+vectors and return a ``rerender`` flag that resets accumulation
+(main.cpp:270-280).  Here the same verbs are a single ``apply(command)``
+entry point over the host ``Scene``, returning ``changed`` with the same
+meaning; the browser viewer posts these commands over HTTP, and any other
+client (tests, notebooks) can call them directly.
+
+Shapes are addressed by (kind, index) — kind in {"sphere", "plane",
+"model"}, index into the scene's per-kind list.  Model transforms are
+edited as TRS components exactly like the gizmo glue decomposes and
+recomposes them (interface.cpp:69-104, helper.hpp:76-89).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import numpy as np
+
+from .models.materials import Material
+from .models.scene import Scene
+from .models.shapes import Model, Plane, Sphere, transform_trs
+
+_KINDS = {"sphere": "spheres", "plane": "planes", "model": "models"}
+
+_MATERIAL_FIELDS = ("color", "smoothness", "metallic", "specular",
+                    "transmittance", "refraction_index", "emission",
+                    "emission_strength")
+
+_SKY_FIELDS = ("sun_focus", "sun_intensity", "sun_color", "sun_direction",
+               "horizon_color", "zenith_color", "ground_color")
+
+
+class EditError(ValueError):
+    """A rejected edit (bad id, bad field, missing file...); the viewer
+    surfaces the message like the import popup's error line
+    (interface.cpp:277-290)."""
+
+
+def decompose_trs(m: np.ndarray):
+    """Split a TRS matrix back into (translation, (yaw, pitch, roll),
+    scale) under the transform_trs composition T @ Ry @ Rx @ Rz @ S —
+    the editor's model decomposition (helper.hpp:76-89)."""
+    m = np.asarray(m, np.float64)
+    t = m[:3, 3].copy()
+    scale = np.linalg.norm(m[:3, :3], axis=0)
+    scale[scale == 0] = 1.0
+    r = m[:3, :3] / scale[None, :]
+    # r = Ry(yaw) @ Rx(pitch) @ Rz(roll)
+    pitch = math.asin(max(-1.0, min(1.0, -r[1, 2])))
+    if abs(r[1, 2]) < 0.9999:
+        yaw = math.atan2(r[0, 2], r[2, 2])
+        roll = math.atan2(r[1, 0], r[1, 1])
+    else:   # gimbal lock: fold everything into yaw
+        yaw = math.atan2(-r[2, 0], r[0, 0])
+        roll = 0.0
+    return (tuple(float(v) for v in t), (yaw, pitch, roll),
+            tuple(float(v) for v in scale))
+
+
+def _vec3(value, name) -> tuple:
+    try:
+        x, y, z = (float(v) for v in value)
+    except (TypeError, ValueError):
+        raise EditError(f"{name} must be a 3-vector") from None
+    return (x, y, z)
+
+
+
+def _index_of(lst, obj) -> int:
+    """Identity-based index (dataclass == compares fields, so duplicates
+    would resolve to the original)."""
+    for i, item in enumerate(lst):
+        if item is obj:
+            return i
+    raise EditError("shape vanished during edit")
+
+
+class SceneEditor:
+    """Editing verbs over a host Scene; every successful edit invokes
+    ``on_change`` (the viewer hooks accumulation reset + device re-upload
+    there, the time_not_moved=1 contract)."""
+
+    def __init__(self, scene: Scene,
+                 on_change: Optional[Callable[[], None]] = None):
+        self.scene = scene
+        self.on_change = on_change or (lambda: None)
+
+    # -- inspection --------------------------------------------------------
+    def describe(self) -> dict:
+        """Full editable state as JSON-ready dicts (the data the ImGui
+        panels render each frame)."""
+        sc = self.scene
+        shapes = []
+        for i, s in enumerate(sc.spheres):
+            shapes.append({"kind": "sphere", "index": i,
+                           "material": s.material,
+                           "position": list(s.position),
+                           "radius": s.radius})
+        for i, p in enumerate(sc.planes):
+            shapes.append({"kind": "plane", "index": i,
+                           "material": p.material,
+                           "position": list(p.position),
+                           "normal": list(p.normal)})
+        for i, m in enumerate(sc.models):
+            t, rot, scale = decompose_trs(m.transform)
+            shapes.append({"kind": "model", "index": i,
+                           "material": m.material,
+                           "triangles": m.num_triangles,
+                           "translation": list(t),
+                           "rotation": list(rot),
+                           "scale": list(scale)})
+        materials = []
+        for i, m in enumerate(sc.materials.materials):
+            materials.append({
+                "index": i, "name": sc.materials.names[i],
+                "color": list(m.color), "smoothness": m.smoothness,
+                "metallic": m.metallic, "specular": m.specular,
+                "transmittance": m.transmittance,
+                "refraction_index": m.refraction_index,
+                "emission": list(m.emission),
+                "emission_strength": m.emission_strength,
+            })
+        sky = {f: (list(v) if isinstance(v, (tuple, list)) else v)
+               for f, v in ((f, getattr(sc.sky, f)) for f in _SKY_FIELDS)}
+        return {"shapes": shapes, "materials": materials, "sky": sky}
+
+    # -- commands ----------------------------------------------------------
+    def apply(self, cmd: dict) -> dict:
+        """Dispatch one command; returns {"ok": True, "changed": bool, ...}.
+        Raises EditError for rejected edits."""
+        if not isinstance(cmd, dict) or "op" not in cmd:
+            raise EditError("command must be an object with an 'op' field")
+        op = cmd["op"]
+        handler = getattr(self, f"_op_{op}", None)
+        if handler is None:
+            raise EditError(f"unknown op {op!r}")
+        result = handler(cmd) or {}
+        if result.pop("_changed", True):
+            self.on_change()
+            result.setdefault("changed", True)
+        else:
+            result.setdefault("changed", False)
+        result["ok"] = True
+        return result
+
+    def _shape(self, cmd):
+        kind = cmd.get("kind")
+        if kind not in _KINDS:
+            raise EditError(f"unknown shape kind {cmd.get('kind')!r}")
+        lst = getattr(self.scene, _KINDS[kind])
+        try:
+            index = int(cmd["index"])
+            if index < 0:
+                raise IndexError
+            return lst[index], kind
+        except (KeyError, ValueError, IndexError):
+            raise EditError(f"no {kind} with index {cmd.get('index')!r}"
+                            ) from None
+
+    # shape list (interface.cpp:106-310)
+    def _op_add_sphere(self, cmd):
+        s = self.scene.add_sphere(cmd.get("position", (0.0, 0.0, 0.0)),
+                                  float(cmd.get("radius", 1.0)),
+                                  material=int(cmd.get("material", 0)))
+        return {"index": _index_of(self.scene.spheres, s)}
+
+    def _op_add_plane(self, cmd):
+        p = self.scene.add_plane(cmd.get("position", (0.0, 0.0, 0.0)),
+                                 cmd.get("normal", (0.0, 1.0, 0.0)),
+                                 material=int(cmd.get("material", 0)))
+        return {"index": _index_of(self.scene.planes, p)}
+
+    def _op_add_box(self, cmd):
+        m = self.scene.add_box(cmd.get("position", (0.0, 0.0, 0.0)),
+                               size=cmd.get("size", (2.0, 2.0, 2.0)),
+                               material=int(cmd.get("material", 0)))
+        return {"index": _index_of(self.scene.models, m)}
+
+    def _op_import_model(self, cmd):
+        path = cmd.get("path")
+        if not path:
+            raise EditError("import_model needs a 'path'")
+        try:
+            m = self.scene.import_model(path,
+                                        material=int(cmd.get("material", 0)))
+        except FileNotFoundError:
+            # the import popup's "Inexistant file" error line
+            raise EditError(f"Inexistant file: {path}") from None
+        except ValueError as e:
+            raise EditError(str(e)) from None
+        return {"index": _index_of(self.scene.models, m),
+                "triangles": m.num_triangles}
+
+    def _op_remove_shape(self, cmd):
+        shape, _ = self._shape(cmd)
+        self.scene.remove_shape(shape)
+        return {}
+
+    def _op_duplicate_shape(self, cmd):
+        shape, kind = self._shape(cmd)
+        dup = self.scene.duplicate_shape(shape)
+        return {"index": _index_of(getattr(self.scene, _KINDS[kind]), dup)}
+
+    def _op_set_shape_material(self, cmd):
+        shape, _ = self._shape(cmd)
+        try:
+            self.scene.set_material(shape, int(cmd["material"]))
+        except (KeyError, ValueError, IndexError):
+            raise EditError(
+                f"bad material index {cmd.get('material')!r}") from None
+        return {}
+
+    # per-shape properties incl. the gizmo writebacks
+    # (interface.cpp:13-104: sphere pos/radius, plane pos/normal-from-quat,
+    # model TRS recompose)
+    def _op_set_shape(self, cmd):
+        shape, kind = self._shape(cmd)
+        if kind == "sphere":
+            if "position" in cmd:
+                shape.position = _vec3(cmd["position"], "position")
+            if "radius" in cmd:
+                shape.radius = abs(float(cmd["radius"]))
+        elif kind == "plane":
+            if "position" in cmd:
+                shape.position = _vec3(cmd["position"], "position")
+            if "normal" in cmd:
+                n = np.asarray(_vec3(cmd["normal"], "normal"), np.float64)
+                ln = np.linalg.norm(n)
+                if ln == 0:
+                    raise EditError("plane normal must be nonzero")
+                shape.normal = tuple(float(v) for v in n / ln)
+        else:
+            t, rot, scale = decompose_trs(shape.transform)
+            t = _vec3(cmd.get("translation", t), "translation")
+            rot = _vec3(cmd.get("rotation", rot), "rotation")
+            scale = _vec3(cmd.get("scale", scale), "scale")
+            if "transform" in cmd:
+                m = np.asarray(cmd["transform"], np.float32)
+                if m.shape != (4, 4):
+                    raise EditError("transform must be 4x4")
+                self.scene.set_model_transform(shape, m)
+            else:
+                self.scene.set_model_transform(
+                    shape, transform_trs(t, rot, scale))
+        return {}
+
+    def _op_translate_shape(self, cmd):
+        """Gizmo drag analog: move any shape by a world-space delta."""
+        shape, kind = self._shape(cmd)
+        d = np.asarray(_vec3(cmd.get("delta", (0, 0, 0)), "delta"))
+        if kind == "model":
+            m = np.array(shape.transform, np.float32)
+            m[:3, 3] += d.astype(np.float32)
+            self.scene.set_model_transform(shape, m)
+        else:
+            shape.position = tuple(float(p + dv)
+                                   for p, dv in zip(shape.position, d))
+        return {}
+
+    # material editor (interface.cpp:387-480)
+    def _op_add_material(self, cmd):
+        fields = cmd.get("fields", {})
+        mat = Material()
+        self._update_material_fields(mat, fields)
+        idx = self.scene.add_material(mat, cmd.get("name"))
+        return {"index": idx}
+
+    def _op_remove_material(self, cmd):
+        try:
+            index = int(cmd["index"])
+            self.scene.materials[index]
+        except (KeyError, ValueError, IndexError):
+            raise EditError(
+                f"no material with index {cmd.get('index')!r}") from None
+        self.scene.remove_material(index)
+        return {}
+
+    def _op_rename_material(self, cmd):
+        try:
+            index = int(cmd["index"])
+            self.scene.materials.names[index] = str(cmd["name"])
+        except (KeyError, ValueError, IndexError):
+            raise EditError("rename_material needs valid 'index' and 'name'"
+                            ) from None
+        return {"_changed": False}   # names are host-only: no rerender
+
+    def _op_update_material(self, cmd):
+        try:
+            index = int(cmd["index"])
+            mat = self.scene.materials[index]
+        except (KeyError, ValueError, IndexError):
+            raise EditError(
+                f"no material with index {cmd.get('index')!r}") from None
+        self._update_material_fields(mat, cmd.get("fields", {}))
+        return {}
+
+    @staticmethod
+    def _update_material_fields(mat: Material, fields: dict):
+        for key, value in fields.items():
+            if key not in _MATERIAL_FIELDS:
+                raise EditError(f"unknown material field {key!r}")
+            if key in ("color", "emission"):
+                setattr(mat, key, _vec3(value, key))
+            else:
+                setattr(mat, key, float(value))
+
+    # scene lighting editor (interface.cpp:344-367)
+    def _op_set_sky(self, cmd):
+        sky = self.scene.sky
+        for key, value in cmd.get("fields", {}).items():
+            if key not in _SKY_FIELDS:
+                raise EditError(f"unknown sky field {key!r}")
+            if key in ("sun_focus", "sun_intensity"):
+                setattr(sky, key, float(value))
+            else:
+                v = _vec3(value, key)
+                if key == "sun_direction":
+                    n = np.linalg.norm(v)
+                    if n == 0:
+                        raise EditError("sun_direction must be nonzero")
+                    v = tuple(float(c / n) for c in v)
+                setattr(sky, key, v)
+        return {}
+
+    # -- picking (selection support; the reference selects via the list UI,
+    #    interface.cpp:202-229 — click-to-select is a viewer nicety) -------
+    def pick(self, origin, direction) -> Optional[dict]:
+        """Nearest shape hit by the world-space ray, as {kind, index}.
+        Spheres/planes are exact; models use their world AABB (the same
+        shortcut the reference kernel uses to gate triangle tests)."""
+        o = np.asarray(origin, np.float64)
+        d = np.asarray(direction, np.float64)
+        d = d / np.linalg.norm(d)
+        best = (math.inf, None)
+
+        for i, s in enumerate(self.scene.spheres):
+            rc = np.asarray(s.position) - o
+            b = float(rc @ d)
+            c = float(rc @ rc) - s.radius * s.radius
+            disc = b * b - c
+            if disc < 0:
+                continue
+            sq = math.sqrt(disc)
+            t = b - sq if b - sq >= 0 else b + sq
+            if 0 <= t < best[0]:
+                best = (t, {"kind": "sphere", "index": i})
+        for i, p in enumerate(self.scene.planes):
+            denom = float(np.asarray(p.normal) @ d)
+            if denom == 0:
+                continue
+            t = float((np.asarray(p.position) - o) @ np.asarray(p.normal))
+            t /= denom
+            if 0 <= t < best[0]:
+                best = (t, {"kind": "plane", "index": i})
+        for i, m in enumerate(self.scene.models):
+            lo, hi = m.bounding_box(self.scene.pool)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                inv = 1.0 / d
+                t1 = (lo - o) * inv
+                t2 = (hi - o) * inv
+            near = max(np.minimum(t1, t2).max(), 0.0)
+            far = np.maximum(t1, t2).min()
+            if near <= far and near < best[0]:
+                best = (near, {"kind": "model", "index": i})
+        return best[1]

@@ -2,12 +2,25 @@
 
 The reference is an interactive SDL2/ImGui app (src/main.cpp): fly camera
 (WASD/Space/C + mouse-look, main.cpp:161-240), mouse-wheel fov zoom
-(183-193), progressive accumulation that resets on any movement
-(time_not_moved, 277-348), a 'p' screenshot key (319-322) and frame-time
-readouts (interface.cpp:486-532).  The TPU engine is headless, so the
-window becomes a browser page served by a stdlib HTTP server on localhost
-— the client is NOT on the device path; it just posts input state and
-pulls tonemapped PNG frames, exactly like SDL pulled the readback buffer.
+(183-193), progressive accumulation that resets on any movement or edit
+(time_not_moved, 270-348), a 'p' screenshot key (319-322), frame-time
+readouts (interface.cpp:486-532), and the ImGui editor windows — shape
+list with add/duplicate/delete/select + material assignment, model import
+with error display, material editor (8 sliders, conditional IOR,
+rename/delete), scene lighting editor, render params
+(interface.cpp:106-480) — plus tiny-gizmo translate/rotate/scale of the
+selected shape (interface.cpp:13-104).
+
+The TPU engine is headless, so the window becomes a browser page served
+by a stdlib HTTP server on localhost — the client is NOT on the device
+path; it posts input state and editor commands and pulls tonemapped PNG
+frames, exactly like SDL pulled the readback buffer.  The editor verbs
+live in editor.SceneEditor; this module adds the HTTP surface
+(/scene, /edit, /pick) and the HTML panels.  Every edit resets
+accumulation (the rerender=true contract); shape selection is
+click-to-pick on the image, and the selected shape can be dragged with
+the mouse (translate in the camera plane) or nudged with arrow keys —
+the gizmo analog.
 
 Run:  python -m simple_raytracer_tpu.viewer --config 2 --port 8008
 """
@@ -19,33 +32,343 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from math import cos, degrees, radians, sin, tan
 
-
+from .editor import EditError, SceneEditor
 from .engine import Renderer, RenderOptions
 from .models.camera import Camera
 from .utils.metrics import FrameTimer
 
 _PAGE = """<!doctype html>
 <html><head><title>simple_raytracer_tpu</title><style>
- body { margin:0; background:#111; color:#ccc; font:13px monospace;
-        display:flex; flex-direction:column; align-items:center }
- img  { image-rendering:pixelated; margin-top:8px; outline:1px solid #333 }
- #hud { padding:6px }
+ body { margin:0; background:#111; color:#ccc; font:12px monospace;
+        display:flex; flex-direction:row; height:100vh; overflow:hidden }
+ #main { flex:1; display:flex; flex-direction:column; align-items:center;
+         overflow:auto }
+ #hud { padding:6px; color:#9ab }
+ img  { image-rendering:pixelated; margin-top:4px; outline:1px solid #333;
+        cursor:crosshair }
+ #panel { width:330px; background:#191c1f; overflow-y:auto; padding:8px;
+          border-left:1px solid #333 }
+ h3 { margin:10px 0 4px; color:#8cf; font-size:12px; border-bottom:1px
+      solid #333 }
+ .row { display:flex; align-items:center; gap:4px; margin:2px 0 }
+ .row.sel { background:#2a3540 }
+ button { background:#2a2e33; color:#ccc; border:1px solid #444;
+          font:11px monospace; cursor:pointer; padding:1px 6px }
+ button:hover { background:#3a4450 }
+ input, select { background:#23262a; color:#ddd; border:1px solid #444;
+                 font:11px monospace; width:52px }
+ input[type=text] { width:90px }
+ input[type=range] { width:70px }
+ input[type=color] { width:28px; padding:0; height:16px }
+ label { color:#889; min-width:78px; display:inline-block }
+ #error { color:#f77; min-height:14px }
+ .matbox { border:1px solid #2a2e33; margin:3px 0; padding:3px }
 </style></head><body>
-<div id=hud>click image to capture mouse &middot; WASD/Space/C move &middot;
- wheel zoom &middot; P screenshot (server-side out.ppm) &middot;
- <span id=stats></span></div>
-<img id=view width=%(w)s height=%(h)s>
+<div id=main>
+ <div id=hud>click image: select shape &middot; dblclick: capture mouse
+  (WASD/Space/C fly &middot; wheel zoom) &middot; drag selected: move
+  &middot; arrows/PgUp/PgDn nudge &middot; P screenshot &middot;
+  <span id=stats></span></div>
+ <img id=view width=%(w)s height=%(h)s>
+ <div id=error></div>
+</div>
+<div id=panel>
+ <h3>Shapes</h3>
+ <div class=row>
+  <button onclick="edit({op:'add_sphere',position:[0,0,-3]})">+sphere</button>
+  <button onclick="edit({op:'add_plane',position:[0,-1,0]})">+plane</button>
+  <button onclick="edit({op:'add_box',position:[0,0,-3]})">+box</button>
+ </div>
+ <div class=row><input type=text id=importpath placeholder="model.stl/.obj">
+  <button onclick="edit({op:'import_model',path:val('importpath')})">import
+  </button></div>
+ <div id=shapes></div>
+ <h3>Selected</h3>
+ <div id=selected>nothing selected</div>
+ <h3>Materials</h3>
+ <div id=materials></div>
+ <div class=row><button onclick="edit({op:'add_material'})">+material
+ </button></div>
+ <h3>Scene lighting</h3>
+ <div id=sky></div>
+ <h3>Render</h3>
+ <div id=render></div>
+ <h3>Camera</h3>
+ <div id=camera></div>
+</div>
 <script>
 const keys = {}; let dx = 0, dy = 0, wheel = 0;
+let S = null;                 // /scene state
+let sel = null;               // {kind, index}
+let dragging = false, lastDrag = null;
 const img = document.getElementById('view');
-img.onclick = () => img.requestPointerLock();
-document.onkeydown = e => { keys[e.key.toLowerCase()] = true; };
-document.onkeyup = e => { keys[e.key.toLowerCase()] = false; };
-document.onmousemove = e => {
-  if (document.pointerLockElement === img) { dx += e.movementX; dy += e.movementY; }
+const W = %(w)s, H = %(h)s;
+
+function val(id) { return document.getElementById(id).value; }
+function err(m) { document.getElementById('error').textContent = m || ''; }
+
+async function edit(cmd) {
+  const r = await fetch('/edit', {method:'POST', body:JSON.stringify(cmd)});
+  const j = await r.json();
+  err(j.ok ? '' : j.error);
+  await refresh();
+  return j;
+}
+
+async function refresh() {
+  S = await (await fetch('/scene')).json();
+  renderShapes(); renderSelected(); renderMaterials(); renderSky();
+  renderRender(); renderCamera();
+}
+
+function shapeName(s) {
+  const n = {sphere:'Sphere', plane:'Plane', model:'Model'}[s.kind];
+  return `${n} ${s.index}` + (s.triangles ? ` (${s.triangles} tris)` : '');
+}
+
+function renderShapes() {
+  const div = document.getElementById('shapes');
+  div.innerHTML = '';
+  for (const s of S.shapes) {
+    const row = document.createElement('div');
+    row.className = 'row' + (sel && sel.kind === s.kind &&
+                             sel.index === s.index ? ' sel' : '');
+    const name = document.createElement('span');
+    name.textContent = shapeName(s);
+    name.style.flex = '1'; name.style.cursor = 'pointer';
+    name.onclick = () => { sel = {kind:s.kind, index:s.index};
+                           renderShapes(); renderSelected(); };
+    const mat = document.createElement('select');
+    for (const m of S.materials) {
+      const o = document.createElement('option');
+      o.value = m.index; o.textContent = m.name;
+      if (m.index === s.material) o.selected = true;
+      mat.appendChild(o);
+    }
+    mat.onchange = () => edit({op:'set_shape_material', kind:s.kind,
+                               index:s.index, material:+mat.value});
+    const dup = document.createElement('button');
+    dup.textContent = 'dup';
+    dup.onclick = () => edit({op:'duplicate_shape', kind:s.kind,
+                              index:s.index});
+    const del = document.createElement('button');
+    del.textContent = 'x';
+    del.onclick = () => { if (sel && sel.kind===s.kind &&
+                              sel.index===s.index) sel = null;
+                          edit({op:'remove_shape', kind:s.kind,
+                                index:s.index}); };
+    row.append(name, mat, dup, del);
+    div.appendChild(row);
+  }
+}
+
+function vecRow(label, v, oncommit, step=0.1) {
+  const row = document.createElement('div'); row.className = 'row';
+  const l = document.createElement('label'); l.textContent = label;
+  row.appendChild(l);
+  const inputs = v.map((x, i) => {
+    const inp = document.createElement('input');
+    inp.type = 'number'; inp.step = step; inp.value = (+x).toFixed(3);
+    inp.onchange = () => oncommit(inputs.map(e => +e.value));
+    row.appendChild(inp);
+    return inp;
+  });
+  return row;
+}
+
+function numRow(label, x, oncommit, step=0.05) {
+  const row = document.createElement('div'); row.className = 'row';
+  const l = document.createElement('label'); l.textContent = label;
+  const inp = document.createElement('input');
+  inp.type = 'number'; inp.step = step; inp.value = (+x).toFixed(3);
+  inp.onchange = () => oncommit(+inp.value);
+  row.append(l, inp);
+  return row;
+}
+
+function findSel() {
+  if (!sel) return null;
+  return S.shapes.find(s => s.kind === sel.kind && s.index === sel.index)
+         || null;
+}
+
+function renderSelected() {
+  const div = document.getElementById('selected');
+  div.innerHTML = '';
+  const s = findSel();
+  if (!s) { div.textContent = 'nothing selected'; return; }
+  div.appendChild(Object.assign(document.createElement('div'),
+                                {textContent: shapeName(s)}));
+  const set = f => edit(Object.assign({op:'set_shape', kind:s.kind,
+                                       index:s.index}, f));
+  if (s.kind === 'sphere') {
+    div.appendChild(vecRow('position', s.position,
+                           v => set({position:v})));
+    div.appendChild(numRow('radius', s.radius, v => set({radius:v})));
+  } else if (s.kind === 'plane') {
+    div.appendChild(vecRow('position', s.position,
+                           v => set({position:v})));
+    div.appendChild(vecRow('normal', s.normal, v => set({normal:v})));
+  } else {
+    div.appendChild(vecRow('translation', s.translation,
+                           v => set({translation:v})));
+    div.appendChild(vecRow('rotation', s.rotation,
+                           v => set({rotation:v}), 0.05));
+    div.appendChild(vecRow('scale', s.scale, v => set({scale:v}), 0.05));
+  }
+}
+
+function matColorRow(m, field) {
+  const row = document.createElement('div'); row.className = 'row';
+  const l = document.createElement('label'); l.textContent = field;
+  const c = document.createElement('input'); c.type = 'color';
+  const hex = v => ('0' + Math.round(Math.min(1, Math.max(0, v)) * 255)
+                    .toString(16)).slice(-2);
+  c.value = '#' + m[field].map(hex).join('');
+  c.onchange = () => {
+    const v = [1, 3, 5].map(i => parseInt(c.value.slice(i, i + 2), 16) / 255);
+    edit({op:'update_material', index:m.index, fields:{[field]:v}});
+  };
+  row.append(l, c);
+  return row;
+}
+
+function renderMaterials() {
+  const div = document.getElementById('materials');
+  div.innerHTML = '';
+  for (const m of S.materials) {
+    const box = document.createElement('div'); box.className = 'matbox';
+    const head = document.createElement('div'); head.className = 'row';
+    const name = document.createElement('input');
+    name.type = 'text'; name.value = m.name;
+    name.onchange = () => edit({op:'rename_material', index:m.index,
+                                name:name.value});
+    const del = document.createElement('button'); del.textContent = 'x';
+    del.onclick = () => edit({op:'remove_material', index:m.index});
+    head.append(name, del);
+    box.appendChild(head);
+    box.appendChild(matColorRow(m, 'color'));
+    for (const f of ['smoothness', 'metallic', 'specular', 'transmittance'])
+      box.appendChild(numRow(f, m[f], v => edit(
+        {op:'update_material', index:m.index, fields:{[f]:v}})));
+    if (m.transmittance > 0)   // conditional IOR (interface.cpp:461-470)
+      box.appendChild(numRow('refraction', m.refraction_index, v => edit(
+        {op:'update_material', index:m.index,
+         fields:{refraction_index:v}})));
+    box.appendChild(matColorRow(m, 'emission'));
+    box.appendChild(numRow('emit strength', m.emission_strength, v => edit(
+      {op:'update_material', index:m.index,
+       fields:{emission_strength:v}}), 0.5));
+    div.appendChild(box);
+  }
+}
+
+function renderSky() {
+  const div = document.getElementById('sky');
+  div.innerHTML = '';
+  const set = (f, v) => edit({op:'set_sky', fields:{[f]:v}});
+  div.appendChild(numRow('sun focus', S.sky.sun_focus,
+                         v => set('sun_focus', v), 1));
+  div.appendChild(numRow('sun intensity', S.sky.sun_intensity,
+                         v => set('sun_intensity', v)));
+  div.appendChild(vecRow('sun direction', S.sky.sun_direction,
+                         v => set('sun_direction', v)));
+  for (const f of ['sun_color', 'horizon_color', 'zenith_color',
+                   'ground_color'])
+    div.appendChild(vecRow(f.replace('_', ' '), S.sky[f],
+                           v => set(f, v), 0.05));
+}
+
+function renderRender() {
+  const div = document.getElementById('render');
+  div.innerHTML = '';
+  div.appendChild(numRow('samples', S.render.samples, v => edit(
+    {op:'set_render', samples:Math.max(1, Math.round(v))}), 1));
+  div.appendChild(numRow('bounces', S.render.bounces, v => edit(
+    {op:'set_render', bounces:Math.max(1, Math.round(v))}), 1));
+  const row = document.createElement('div'); row.className = 'row';
+  const cb = document.createElement('input');
+  cb.type = 'checkbox'; cb.checked = S.render.show_normals;
+  cb.style.width = '16px';
+  cb.onchange = () => edit({op:'set_render', show_normals:cb.checked});
+  const l = document.createElement('label');
+  l.textContent = 'show normals';
+  const rr = document.createElement('button');
+  rr.textContent = 'Re-render';
+  rr.onclick = () => edit({op:'rerender'});
+  row.append(cb, l, rr);
+  div.appendChild(row);
+  const note = document.createElement('div');
+  note.style.color = '#776';
+  note.textContent = 'samples/bounces changes recompile the step';
+  div.appendChild(note);
+}
+
+function renderCamera() {
+  const div = document.getElementById('camera');
+  div.innerHTML = '';
+  div.appendChild(vecRow('position', S.camera.position,
+                         v => edit({op:'set_camera', position:v})));
+  div.appendChild(numRow('yaw', S.camera.yaw,
+                         v => edit({op:'set_camera', yaw:v})));
+  div.appendChild(numRow('pitch', S.camera.pitch,
+                         v => edit({op:'set_camera', pitch:v})));
+  div.appendChild(numRow('fov', S.camera.fov,
+                         v => edit({op:'set_camera', fov:v}), 1));
+  const row = document.createElement('div'); row.className = 'row';
+  const shot = document.createElement('button');
+  shot.textContent = 'Screenshot (PPM)';
+  shot.onclick = () => edit({op:'screenshot'});
+  row.appendChild(shot);
+  div.appendChild(row);
+}
+
+// -- selection picking + drag-translate (the gizmo analog) ---------------
+img.ondblclick = () => img.requestPointerLock();
+img.onmousedown = async e => {
+  if (document.pointerLockElement === img) return;
+  const r = img.getBoundingClientRect();
+  const x = (e.clientX - r.left) * W / r.width;
+  const y = (e.clientY - r.top) * H / r.height;
+  const hit = await (await fetch('/pick', {method:'POST',
+    body:JSON.stringify({x, y})})).json();
+  const same = hit.shape && sel && hit.shape.kind === sel.kind &&
+               hit.shape.index === sel.index;
+  if (hit.shape) sel = hit.shape;
+  renderShapes(); renderSelected();
+  if (same) { dragging = true; lastDrag = [e.clientX, e.clientY]; }
 };
+document.onmouseup = () => { dragging = false; };
+document.onmousemove = e => {
+  if (document.pointerLockElement === img) {
+    dx += e.movementX; dy += e.movementY;
+  } else if (dragging && sel) {
+    const [lx, ly] = lastDrag; lastDrag = [e.clientX, e.clientY];
+    fetch('/edit', {method:'POST', body:JSON.stringify(
+      {op:'drag_shape', kind:sel.kind, index:sel.index,
+       dx:(e.clientX - lx) / img.getBoundingClientRect().width,
+       dy:(e.clientY - ly) / img.getBoundingClientRect().height})});
+  }
+};
+
+document.onkeydown = e => {
+  if (e.target.tagName === 'INPUT') return;
+  keys[e.key.toLowerCase()] = true;
+  if (sel && ['arrowleft','arrowright','arrowup','arrowdown','pageup',
+              'pagedown'].includes(e.key.toLowerCase())) {
+    const step = e.shiftKey ? 0.02 : 0.2;
+    const d = {arrowleft:[-step,0,0], arrowright:[step,0,0],
+               arrowup:[0,step,0], arrowdown:[0,-step,0],
+               pageup:[0,0,-step], pagedown:[0,0,step]}[e.key.toLowerCase()];
+    edit({op:'translate_shape', kind:sel.kind, index:sel.index, delta:d});
+    e.preventDefault();
+  }
+};
+document.onkeyup = e => { keys[e.key.toLowerCase()] = false; };
 document.onwheel = e => { wheel += Math.sign(e.deltaY); };
+
 let last = performance.now();
 async function tick() {
   const now = performance.now(); const dt = (now - last) / 1000; last = now;
@@ -53,27 +376,33 @@ async function tick() {
                 dx, dy, wheel, dt};
   dx = 0; dy = 0; wheel = 0;
   try {
-    const r = await fetch('/input', {method:'POST', body: JSON.stringify(body)});
+    const r = await fetch('/input', {method:'POST',
+                                     body: JSON.stringify(body)});
     const s = await r.json();
     document.getElementById('stats').textContent =
       `steps ${s.steps}  ${s.ms.toFixed(1)} ms/step  ${s.fps.toFixed(1)} fps`;
     img.src = '/frame.png?t=' + s.frame;
+    if (s.error) err(s.error);
   } catch (e) {}
   setTimeout(tick, 33);
 }
-tick();
+refresh().then(tick);
 </script></body></html>"""
 
 
 class RenderLoop:
     """Background progressive render loop with the reference's
-    movement-resets-accumulation contract."""
+    movement/edit-resets-accumulation contract."""
 
     def __init__(self, renderer: Renderer, camera: Camera,
                  movement_speed: float = 15.0, look_speed: float = 25.0,
-                 fps_limit: float = 60.0, screenshot_path: str = "out.ppm"):
+                 fps_limit: float = 60.0, screenshot_path: str = "out.ppm",
+                 scene=None):
         self.renderer = renderer
         self.camera = camera
+        self.scene = scene
+        self.editor = (SceneEditor(scene, on_change=self._scene_changed)
+                       if scene is not None else None)
         self.movement_speed = movement_speed
         self.look_speed = look_speed
         self.fps_limit = fps_limit  # 60 like the reference (main.cpp:153-155)
@@ -97,6 +426,128 @@ class RenderLoop:
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=5)
+
+    # -- editing (held lock required: see handle_edit) ---------------------
+    def _scene_changed(self):
+        """SceneEditor on_change hook: re-upload + reset accumulation
+        (the update_scene + clear_canvas pair, main.cpp:277-280)."""
+        self.renderer.update_scene(self.scene)
+        self._dirty = True
+
+    def handle_edit(self, cmd: dict) -> dict:
+        """Apply one editor/loop command under the loop lock."""
+        with self._lock:
+            op = cmd.get("op")
+            if op == "rerender":           # interface.cpp:381-383
+                self._dirty = True
+                return {"ok": True, "changed": True}
+            if op == "screenshot":
+                self._screenshot_requested = True
+                return {"ok": True, "changed": False}
+            if op == "set_camera":
+                if "position" in cmd:
+                    x, y, z = (float(v) for v in cmd["position"])
+                    self.camera.position = (x, y, z)
+                for f in ("yaw", "pitch"):
+                    if f in cmd:
+                        setattr(self.camera, f, float(cmd[f]))
+                if "fov" in cmd:   # HTTP API speaks degrees
+                    self.camera.fov = radians(float(cmd["fov"]))
+                self._dirty = True
+                return {"ok": True, "changed": True}
+            if op == "set_render":
+                return self._set_render(cmd)
+            if op == "drag_shape":
+                return self._drag_shape(cmd)
+            if self.editor is None:
+                raise EditError("this viewer was started without an "
+                                "editable scene")
+            return self.editor.apply(cmd)
+
+    def _set_render(self, cmd: dict) -> dict:
+        """Render params panel (interface.cpp:369-385).  samples/bounces
+        are static jit shapes here, so changing them rebuilds the step
+        function (one recompile; the reference's OpenCL kernel reads them
+        dynamically)."""
+        o = self.renderer.options
+        opts = RenderOptions(
+            width=o.width, height=o.height,
+            num_samples=max(1, int(cmd.get("samples", o.num_samples))),
+            num_bounces=max(1, int(cmd.get("bounces", o.num_bounces))),
+            show_normals=bool(cmd.get("show_normals", o.show_normals)),
+            tri_chunk=o.tri_chunk, tri_backend=o.tri_backend,
+            ray_tile=o.ray_tile)
+        if opts != o:
+            renderer = Renderer(opts)
+            renderer.set_device_scene(self.renderer.device_scene)
+            self.renderer = renderer
+            self._dirty = True
+        return {"ok": True, "changed": opts != o}
+
+    def _drag_shape(self, cmd: dict) -> dict:
+        """Mouse-drag translate in the camera plane (the dominant
+        tiny-gizmo interaction): screen-relative (dx, dy) move the shape
+        along the camera's right/up axes, scaled by its distance so the
+        shape tracks the cursor."""
+        if self.editor is None:
+            raise EditError("no editable scene")
+        kind, index = cmd.get("kind"), cmd.get("index")
+        desc = [s for s in self.editor.describe()["shapes"]
+                if s["kind"] == kind and s["index"] == index]
+        if not desc:
+            raise EditError(f"no {kind} with index {index!r}")
+        pos = desc[0].get("position") or desc[0].get("translation")
+        cam = self.camera
+        cy, sy = cos(cam.yaw), sin(cam.yaw)
+        cp, sp = cos(cam.pitch), sin(cam.pitch)
+        right = (cy, 0.0, -sy)                 # camera-space +x in world
+        up = (sy * sp, cp, cy * sp)            # camera-space +y in world
+        fwd = (-sy * cp, sp, -cy * cp)         # camera-space -z in world
+        rel = tuple(p - c for p, c in zip(pos, cam.position))
+        depth = max(sum(r * f for r, f in zip(rel, fwd)), 0.5)
+        fov_scale = tan(cam.fov / 2.0)   # fov is radians on the model
+        o = self.renderer.options
+        kx = 2.0 * float(cmd.get("dx", 0)) * depth * fov_scale \
+            * (o.width / o.height)
+        ky = -2.0 * float(cmd.get("dy", 0)) * depth * fov_scale
+        delta = tuple(kx * r + ky * u for r, u in zip(right, up))
+        return self.editor.apply({"op": "translate_shape", "kind": kind,
+                                  "index": index, "delta": delta})
+
+    def describe_scene(self) -> dict:
+        """Everything the panels render: scene + render params + camera."""
+        with self._lock:
+            d = self.editor.describe() if self.editor else {
+                "shapes": [], "materials": [], "sky": {}}
+            o = self.renderer.options
+            d["render"] = {"samples": o.num_samples,
+                           "bounces": o.num_bounces,
+                           "show_normals": o.show_normals,
+                           "width": o.width, "height": o.height}
+            d["camera"] = {"position": list(self.camera.position),
+                           "yaw": self.camera.yaw,
+                           "pitch": self.camera.pitch,
+                           "fov": degrees(self.camera.fov)}
+            return d
+
+    def pick(self, x: float, y: float):
+        """Shape under pixel (x, y): build the primary ray with the same
+        NDC math as generate_rays (render.cl:498-516) and ask the editor."""
+        if self.editor is None:
+            return None
+        with self._lock:
+            o = self.renderer.options
+            cam = self.camera
+            fov_scale = tan(cam.fov / 2.0)
+            aspect = o.width / o.height
+            sx = (2.0 * (x + 0.5) / o.width - 1.0) * aspect * fov_scale
+            sy = (1.0 - 2.0 * (y + 0.5) / o.height) * fov_scale
+            cy_, sy_ = cos(cam.yaw), sin(cam.yaw)
+            cp, sp = cos(cam.pitch), sin(cam.pitch)
+            d = (cy_ * sx + sy_ * sp * sy - sy_ * cp,
+                 cp * sy + sp,
+                 -sy_ * sx + cy_ * sp * sy - cy_ * cp)
+            return self.editor.pick(cam.position, d)
 
     # -- input (mirrors main.cpp:161-240) ---------------------------------
     def apply_input(self, keys, dx, dy, wheel, dt):
@@ -141,8 +592,9 @@ class RenderLoop:
 
         while not self._stop.is_set():
             with self._lock:
+                renderer = self.renderer
                 if self._dirty:
-                    self.renderer.clear_canvas()
+                    renderer.clear_canvas()
                     self._dirty = False
                     self.reset_count += 1
                 cam = Camera(position=self.camera.position,
@@ -151,8 +603,8 @@ class RenderLoop:
             t0 = time.perf_counter()
             # wall-clock RNG seed like the reference (main.cpp:287)
             seed = int(time.time() * 1000) & 0xFFFFFFFF or 1
-            self.renderer.step(cam, time=seed)
-            img = self.renderer.image()
+            renderer.step(cam, time=seed)
+            img = renderer.image()
             self.timer.record(time.perf_counter() - t0)
             buf = io.BytesIO()
             Image.fromarray(img, "RGB").save(buf, "PNG")
@@ -187,6 +639,13 @@ def make_handler(loop: RenderLoop, width: int, height: int):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _read_json(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(n) or b"{}")
+
         def do_GET(self):
             if self.path == "/" or self.path.startswith("/index"):
                 self._send(200, page, "text/html")
@@ -198,32 +657,42 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                     self._send(200, png, "image/png")
             elif self.path.startswith("/state"):
                 _, frame, steps, ms, fps = loop.snapshot()
-                self._send(200, json.dumps(
+                self._send_json(
                     {"frame": frame, "steps": steps, "ms": ms, "fps": fps,
                      "resets": loop.reset_count,
                      "screenshots": loop.screenshot_count,
-                     "error": repr(loop.error) if loop.error else None,
-                     }).encode(), "application/json")
+                     "error": repr(loop.error) if loop.error else None})
+            elif self.path.startswith("/scene"):
+                self._send_json(loop.describe_scene())
             else:
                 self._send(404, b"not found", "text/plain")
 
         def do_POST(self):
+            try:
+                data = self._read_json()
+            except (ValueError, UnicodeDecodeError):
+                self._send(400, b"bad json", "text/plain")
+                return
             if self.path == "/input":
-                n = int(self.headers.get("Content-Length", 0))
-                try:
-                    data = json.loads(self.rfile.read(n) or b"{}")
-                except (ValueError, UnicodeDecodeError):
-                    self._send(400, b"bad json", "text/plain")
-                    return
                 loop.apply_input(set(data.get("keys", [])),
                                  float(data.get("dx", 0)),
                                  float(data.get("dy", 0)),
                                  float(data.get("wheel", 0)),
                                  float(data.get("dt", 0.016)))
                 _, frame, steps, ms, fps = loop.snapshot()
-                self._send(200, json.dumps(
-                    {"frame": frame, "steps": steps, "ms": ms,
-                     "fps": fps}).encode(), "application/json")
+                self._send_json(
+                    {"frame": frame, "steps": steps, "ms": ms, "fps": fps,
+                     "error": repr(loop.error) if loop.error else None})
+            elif self.path == "/edit":
+                try:
+                    self._send_json(loop.handle_edit(data))
+                except EditError as e:
+                    # the import popup's error-line contract
+                    self._send_json({"ok": False, "error": str(e)})
+            elif self.path == "/pick":
+                hit = loop.pick(float(data.get("x", 0)),
+                                float(data.get("y", 0)))
+                self._send_json({"shape": hit})
             else:
                 self._send(404, b"not found", "text/plain")
 
@@ -235,7 +704,7 @@ def serve(scene, camera, options: RenderOptions, port: int = 8008,
           screenshot_path: str = "out.ppm"):
     renderer = Renderer(options, scene=scene)
     loop = RenderLoop(renderer, camera, fps_limit=fps_limit,
-                      screenshot_path=screenshot_path)
+                      screenshot_path=screenshot_path, scene=scene)
     loop.start()
     server = ThreadingHTTPServer((host, port),
                                  make_handler(loop, options.width,

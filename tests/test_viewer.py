@@ -19,7 +19,7 @@ def server():
     sc.add_plane((0, -1, 0), (0, 1, 0))
     opts = RenderOptions(width=32, height=24, num_samples=1, num_bounces=2)
     renderer = Renderer(opts, scene=sc)
-    loop = RenderLoop(renderer, Camera())
+    loop = RenderLoop(renderer, Camera(), scene=sc)
     loop.start()
     srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(loop, 32, 24))
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -96,6 +96,120 @@ def test_state_surfaces_render_error(server):
     s = json.loads(_get(srv, "/state").read())
     assert "boom" in s["error"]
     loop.error = None
+
+
+def _edit(srv, cmd):
+    return json.loads(_post(srv, "/edit", cmd).read())
+
+
+def test_scene_endpoint(server):
+    srv, loop = server
+    s = json.loads(_get(srv, "/scene").read())
+    assert [sh["kind"] for sh in s["shapes"]] == ["sphere", "plane"]
+    assert s["materials"][0]["name"] == "Material0"
+    assert s["render"]["bounces"] == 2
+    assert s["camera"]["position"] == [0.0, 0.0, 5.0]
+    assert "sun_intensity" in s["sky"]
+
+
+def test_edit_add_shape_resets_accumulation(server):
+    srv, loop = server
+    resets = loop.reset_count
+    r = _edit(srv, {"op": "add_sphere", "position": [2, 0, -3],
+                    "radius": 0.5})
+    assert r["ok"] and r["changed"]
+    assert len(loop.scene.spheres) == 2
+    # the device scene was re-uploaded with the new sphere
+    assert int(loop.renderer.device_scene.spheres.active.sum()) == 2
+    deadline = time.time() + 240
+    while loop.reset_count <= resets and time.time() < deadline:
+        time.sleep(0.02)
+    assert loop.reset_count > resets   # rerender=true contract
+
+
+def test_edit_render_changes_after_emissive_edit(server):
+    srv, loop = server
+    deadline = time.time() + 240
+    while loop.renderer.num_steps < 1 and time.time() < deadline:
+        assert loop.error is None, loop.error
+        time.sleep(0.2)
+    before = np.asarray(loop.renderer.image()).astype(np.int32)
+    # make the only material strongly emissive red: image must brighten
+    _edit(srv, {"op": "update_material", "index": 0,
+                "fields": {"emission": [1, 0, 0], "emission_strength": 10}})
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        if loop.renderer.num_steps >= 1:
+            after = np.asarray(loop.renderer.image()).astype(np.int32)
+            if after[..., 0].mean() > before[..., 0].mean() + 30:
+                break
+        time.sleep(0.2)
+    else:
+        pytest.fail("render did not change after the material edit")
+
+
+def test_edit_material_and_error_surface(server):
+    srv, loop = server
+    r = _edit(srv, {"op": "add_material", "name": "Glassy",
+                    "fields": {"transmittance": 1.0}})
+    assert r["ok"]
+    idx = r["index"]
+    r = _edit(srv, {"op": "set_shape_material", "kind": "sphere",
+                    "index": 0, "material": idx})
+    assert r["ok"]
+    assert loop.scene.spheres[0].material == idx
+    # error surface: the import popup's "Inexistant file" line
+    r = _edit(srv, {"op": "import_model", "path": "/nope/x.stl"})
+    assert not r["ok"] and "Inexistant file" in r["error"]
+    r = _edit(srv, {"op": "frobnicate"})
+    assert not r["ok"]
+
+
+def test_pick_and_drag_shape(server):
+    srv, loop = server
+    # center pixel: the sphere at (0,0,-3) seen from (0,0,5)
+    hit = json.loads(_post(srv, "/pick", {"x": 16, "y": 12}).read())
+    assert hit["shape"] == {"kind": "sphere", "index": 0}
+    # top edge: sky
+    hit = json.loads(_post(srv, "/pick", {"x": 16, "y": 0}).read())
+    assert hit["shape"] is None
+    # gizmo drag: screen +x must move the sphere along world +x
+    pos0 = loop.scene.spheres[0].position
+    r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
+                    "dx": 0.1, "dy": 0.0})
+    assert r["ok"]
+    pos1 = loop.scene.spheres[0].position
+    assert pos1[0] > pos0[0] and abs(pos1[1] - pos0[1]) < 1e-6
+    # keyboard nudge analog
+    r = _edit(srv, {"op": "translate_shape", "kind": "sphere", "index": 0,
+                    "delta": [0, 0.5, 0]})
+    assert loop.scene.spheres[0].position[1] == pos1[1] + 0.5
+
+
+def test_set_camera_and_rerender(server):
+    srv, loop = server
+    r = _edit(srv, {"op": "set_camera", "position": [1, 2, 6], "fov": 70})
+    assert r["ok"]
+    assert loop.camera.position == (1.0, 2.0, 6.0)
+    import math
+    assert abs(loop.camera.fov - math.radians(70)) < 1e-9
+    resets = loop.reset_count
+    _edit(srv, {"op": "rerender"})
+    deadline = time.time() + 240
+    while loop.reset_count <= resets and time.time() < deadline:
+        time.sleep(0.02)
+    assert loop.reset_count > resets
+
+
+def test_set_render_params(server):
+    srv, loop = server
+    r = _edit(srv, {"op": "set_render", "bounces": 2, "samples": 1})
+    assert r["ok"] and not r["changed"]   # unchanged: no recompile
+    r = _edit(srv, {"op": "set_render", "show_normals": True})
+    assert r["ok"] and r["changed"]
+    assert loop.renderer.options.show_normals
+    s = json.loads(_get(srv, "/scene").read())
+    assert s["render"]["show_normals"]
 
 
 def test_screenshot_edge_triggered(server, tmp_path):
