@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     p.add_argument("--time-seed", type=_positive_seed, default=None,
                    help="RNG time seed, >= 1 (default: deterministic counter)")
+    p.add_argument("--all-devices", action="store_true",
+                   help="shard the render over every local device "
+                        "(horizontal pixel bands; bit-identical output)")
     p.add_argument("--wall-clock-seed", action="store_true",
                    help="seed from the ms clock like the reference app")
     p.add_argument("--save-state", default=None,
@@ -99,9 +102,13 @@ def main(argv=None) -> int:
         num_bounces=args.bounces or options.num_bounces,
         show_normals=args.show_normals,
         tri_backend=args.tri_backend,
+        all_devices=args.all_devices,
     )
     options = RenderOptions(**opt)
     r = Renderer(options, scene=scene)
+    if args.all_devices:
+        print(f"srt-render: sharding over {r.num_devices} device(s)",
+              file=sys.stderr)
 
     if args.load_state:
         data = np.load(args.load_state)

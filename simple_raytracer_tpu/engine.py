@@ -42,7 +42,12 @@ class RenderOptions:
     # screen-tile ray ordering (th, tw) for packet-coherent ray blocks;
     # None = row-major; "auto" tiles 8x64 when the image divides evenly.
     # A pure permutation: output is identical either way.
-    ray_tile: object = "auto" 
+    ray_tile: object = "auto"
+    # render on every local device via shard_map data parallelism over
+    # horizontal pixel bands (parallel/shard.py); the height must divide
+    # by the device count.  Output is bit-identical to single-device
+    # rendering (pixel RNG streams are global, render.cl:496 semantics).
+    all_devices: bool = False
 
 
 class Renderer:
@@ -51,16 +56,40 @@ class Renderer:
     def __init__(self, options: RenderOptions = RenderOptions(),
                  scene: Optional[Scene] = None):
         self.options = options
-        ray_tile = options.ray_tile
-        if ray_tile == "auto":
-            ray_tile = ((8, 64) if options.height % 8 == 0
-                        and options.width % 64 == 0 else None)
-        self._step_fn = make_render_step(
-            options.width, options.height, options.num_samples,
-            options.num_bounces, show_normals=options.show_normals,
-            tri_chunk=options.tri_chunk, tri_backend=options.tri_backend,
-            ray_tile=ray_tile,
-        )
+        self._mesh = None
+        self._canvas_sharding = None
+        if options.all_devices and len(jax.devices()) > 1:
+            from .parallel.mesh import DP_AXIS, make_mesh
+            from .parallel.shard import make_sharded_render_step
+            mesh = make_mesh()
+            n = mesh.shape[DP_AXIS]
+            if options.height % n:
+                raise ValueError(
+                    f"--all-devices: height {options.height} must divide "
+                    f"by the {n} local devices (pick a multiple of {n})")
+            band = options.height // n
+            ray_tile = options.ray_tile
+            if ray_tile == "auto":
+                ray_tile = ((8, 64) if band % 8 == 0
+                            and options.width % 64 == 0 else None)
+            self._step_fn, self._mesh, self._canvas_sharding = \
+                make_sharded_render_step(
+                    options.width, options.height, options.num_samples,
+                    options.num_bounces, mesh=mesh,
+                    show_normals=options.show_normals,
+                    tri_chunk=options.tri_chunk,
+                    tri_backend=options.tri_backend, ray_tile=ray_tile)
+        else:
+            ray_tile = options.ray_tile
+            if ray_tile == "auto":
+                ray_tile = ((8, 64) if options.height % 8 == 0
+                            and options.width % 64 == 0 else None)
+            self._step_fn = make_render_step(
+                options.width, options.height, options.num_samples,
+                options.num_bounces, show_normals=options.show_normals,
+                tri_chunk=options.tri_chunk,
+                tri_backend=options.tri_backend, ray_tile=ray_tile,
+            )
         self._device_scene = None
         self._canvas = None
         self.num_steps = 0
@@ -68,6 +97,11 @@ class Renderer:
         if scene is not None:
             self.update_scene(scene)
         self.clear_canvas()
+
+    @property
+    def num_devices(self) -> int:
+        """Devices this renderer spreads each step over."""
+        return self._mesh.size if self._mesh is not None else 1
 
     # -- scene / state management ----------------------------------------
     def update_scene(self, scene: Scene) -> None:
@@ -86,6 +120,9 @@ class Renderer:
         """Reset accumulation (Tracer::clear_canvas, tracer.cpp:98-101)."""
         o = self.options
         self._canvas = jnp.zeros((o.height, o.width, 3), jnp.float32)
+        if self._canvas_sharding is not None:
+            self._canvas = jax.device_put(self._canvas,
+                                          self._canvas_sharding)
         self.num_steps = 0
 
     @property
@@ -142,6 +179,9 @@ class Renderer:
             raise ValueError(
                 f"canvas shape {canvas.shape} != {(o.height, o.width, 3)}")
         self._canvas = jnp.asarray(canvas)
+        if self._canvas_sharding is not None:
+            self._canvas = jax.device_put(self._canvas,
+                                          self._canvas_sharding)
         self.num_steps = int(state["num_steps"])
 
     # -- instrumentation --------------------------------------------------

@@ -27,9 +27,16 @@ def make_sharded_render_step(width: int, height: int, num_samples: int,
                              num_bounces: int, mesh=None,
                              show_normals: bool = False,
                              tri_chunk: int = 256,
+                             tri_backend: str = "auto",
+                             ray_tile=None,
                              donate_canvas: bool = True):
     """Build the multi-chip progressive step: (scene, camera, canvas, time)
     -> canvas, with canvas sharded (H/n, W, 3) per device.
+
+    Takes the same kernel knobs as the single-chip step (trace.py):
+    `tri_backend` selects the triangle intersection path inside every
+    device's band, `ray_tile` the packet-coherent ray ordering (must
+    divide each band, not the full image).
 
     Returns (step_fn, mesh, canvas_sharding).  `height` must divide evenly
     by the mesh size (pad the image if needed).
@@ -40,6 +47,10 @@ def make_sharded_render_step(width: int, height: int, num_samples: int,
     if height % n != 0:
         raise ValueError(f"height {height} not divisible by mesh size {n}")
     tile_h = height // n
+    if ray_tile is not None and (tile_h % ray_tile[0] or
+                                 width % ray_tile[1]):
+        raise ValueError(f"ray tile {ray_tile} must divide the per-device "
+                         f"band {tile_h}x{width}")
 
     def tile_fn(scene, camera, canvas_tile, time):
         row0 = jax.lax.axis_index(DP_AXIS).astype(jnp.uint32) * jnp.uint32(tile_h)
@@ -47,7 +58,8 @@ def make_sharded_render_step(width: int, height: int, num_samples: int,
             scene, camera, canvas_tile, time,
             width=width, height=height, num_samples=num_samples,
             num_bounces=num_bounces, show_normals=show_normals,
-            tri_chunk=tri_chunk, row0=row0, tile_height=tile_h,
+            tri_chunk=tri_chunk, tri_backend=tri_backend,
+            ray_tile=ray_tile, row0=row0, tile_height=tile_h,
         )
 
     mapped = shard_map(

@@ -63,6 +63,92 @@ def test_mesh_height_divisibility():
         make_sharded_render_step(64, 50, 1, 2, mesh=mesh)
 
 
+def test_renderer_all_devices_bit_parity(devices):
+    """The PRODUCT path: Renderer(all_devices=True) spreads the step over
+    the mesh and matches the single-device renderer."""
+    scene, camera, _ = config2_four_spheres(width=64, height=48)
+    opts1 = RenderOptions(width=64, height=48, num_samples=2, num_bounces=4)
+    r1 = Renderer(opts1, scene=scene)
+    r1.step(camera, time=5)
+    r1.step(camera, time=6)
+
+    opts8 = RenderOptions(width=64, height=48, num_samples=2, num_bounces=4,
+                          all_devices=True)
+    r8 = Renderer(opts8, scene=scene)
+    assert r8.num_devices == len(devices)
+    r8.step(camera, time=5)
+    r8.step(camera, time=6)
+    np.testing.assert_allclose(np.asarray(r8.canvas), np.asarray(r1.canvas),
+                               rtol=1e-6, atol=1e-7)
+    # tonemapped output path works on the sharded canvas
+    np.testing.assert_array_equal(r8.image(), r1.image())
+    # checkpoint round trip keeps the sharding working
+    state = r8.state_dict()
+    r8.clear_canvas()
+    r8.load_state_dict(state)
+    r8.step(camera, time=7)
+
+
+def test_renderer_all_devices_height_check(devices):
+    with pytest.raises(ValueError, match="height"):
+        Renderer(RenderOptions(width=64, height=50, all_devices=True))
+
+
+def test_sharded_bvh_backend_matches_single_chip(devices):
+    """The packet-culling kernel path composes with shard_map: force the
+    bvh backend (interpret mode on CPU) inside the sharded step and
+    compare against the plain jnp single-chip render."""
+    from simple_raytracer_tpu.models.presets import config4_mesh_glass
+    import simple_raytracer_tpu.ops.pallas.bvh_kernel as bk
+
+    scene, camera, _ = config4_mesh_glass(width=64, height=32)
+    ds = scene.build()
+    assert ds.triangles.clusters is not None
+    assert ds.triangles.clusters.table_t is not None
+
+    opts = RenderOptions(width=64, height=32, num_samples=1, num_bounces=2,
+                         tri_backend="jnp", ray_tile=None)
+    r = Renderer(opts, scene=scene)
+    r.step(camera, time=13)
+    single = np.asarray(r.canvas)
+
+    orig = bk.intersect_triangles_bvh
+
+    def interp(o, d, alive, t_init, aabb, table_t, block_r=1536,
+               interpret=False, with_attrs=False):
+        return orig(o, d, alive, t_init, aabb, table_t, block_r=128,
+                    interpret=True, with_attrs=with_attrs)
+
+    bk.intersect_triangles_bvh = interp
+    try:
+        mesh = make_mesh(devices)
+        step, mesh, _ = make_sharded_render_step(
+            64, 32, 1, 2, mesh=mesh, tri_backend="bvh", ray_tile=None)
+        canvas = make_sharded_canvas(mesh, 32, 64)
+        out = step(ds, camera.state(2.0), canvas, jnp.uint32(13))
+        np.testing.assert_allclose(np.asarray(out), single, rtol=1e-5,
+                                   atol=1e-6)
+    finally:
+        bk.intersect_triangles_bvh = orig
+
+
+def test_sharded_ray_tile_plumbs(devices):
+    """ray_tile inside shard_map is a pure permutation: identical output."""
+    scene, camera, _ = config2_four_spheres(width=64, height=32)
+    ds = scene.build()
+    mesh = make_mesh(devices)
+    step_a, _, _ = make_sharded_render_step(64, 32, 1, 2, mesh=mesh)
+    step_b, _, _ = make_sharded_render_step(64, 32, 1, 2, mesh=mesh,
+                                            ray_tile=(4, 32))
+    cam = camera.state(2.0)
+    ca = step_a(ds, cam, make_sharded_canvas(mesh, 32, 64), jnp.uint32(3))
+    cb = step_b(ds, cam, make_sharded_canvas(mesh, 32, 64), jnp.uint32(3))
+    np.testing.assert_allclose(np.asarray(ca), np.asarray(cb),
+                               rtol=1e-6, atol=1e-7)
+    with pytest.raises(ValueError, match="ray tile"):
+        make_sharded_render_step(64, 32, 1, 2, mesh=mesh, ray_tile=(3, 32))
+
+
 def test_sharded_mesh_scene_matches_single_chip(devices):
     """Mesh scene (triangle SoA + clusters pytree) under shard_map."""
     from simple_raytracer_tpu.models.presets import config4_mesh_glass
