@@ -1,0 +1,101 @@
+"""Converged oracle-vs-TPU RMSE on the three showcase reconstructions.
+
+Both renderers consume IDENTICAL RNG streams (the seed is a pure function
+of pixel id, sample and step time, render.cl:496), so the mean canvases
+are directly comparable: disagreement measures implementation error, not
+Monte-Carlo noise.  The scalar oracle is pure Python, so the comparison
+runs at reduced resolution; the TPU render additionally runs the full
+960x540 showcase at 1000 steps for the showcase/ gallery.
+
+Writes the RMSE table to stdout (markdown) for PARITY.md.
+
+Usage: python scripts/parity_rmse.py [--steps N] [--quick]
+"""
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+import numpy as np
+
+
+def rmse(a, b):
+    return float(np.sqrt(np.mean((np.asarray(a, np.float64)
+                                  - np.asarray(b, np.float64)) ** 2)))
+
+
+def run_scene(name, builder, width, height, steps, samples=2, bounces=10):
+    import jax
+    import oracle
+    from simple_raytracer_tpu.engine import Renderer, RenderOptions
+    from simple_raytracer_tpu.ops.tonemap import tonemap_u8
+
+    scene, camera, _ = builder()
+    opts = RenderOptions(width=width, height=height, num_samples=samples,
+                         num_bounces=bounces)
+    r = Renderer(opts, scene=scene)
+    for t in range(1, steps + 1):
+        r.step(camera, time=t)
+    jax.block_until_ready(r.canvas)
+    dev_mean = np.asarray(r.canvas) / steps
+    dev_img = np.asarray(tonemap_u8(r.canvas, steps), np.float64)
+
+    acc = np.zeros((height, width, 3), np.float64)
+    t0 = time.time()
+    for t in range(1, steps + 1):
+        acc += oracle.render(scene, camera, width, height, samples,
+                             bounces, t)
+        print(f"  {name}: oracle step {t}/{steps} "
+              f"({time.time()-t0:.0f}s)", file=sys.stderr)
+    orc_mean = acc / steps
+    orc_img = np.asarray(tonemap_u8(np.float32(acc), steps), np.float64)
+
+    lin = rmse(dev_mean, orc_mean)
+    ton = rmse(dev_img, orc_img)
+    frac = float(np.mean(np.any(np.abs(dev_img - orc_img) > 1, axis=-1)))
+    return {"scene": name, "res": f"{width}x{height}",
+            "steps": steps, "rmse_linear": lin, "rmse_u8": ton,
+            "pixels_off_by_gt1": frac}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    from simple_raytracer_tpu.models.showcase import (showcase_model,
+                                                      showcase_red_green,
+                                                      showcase_spheres)
+
+    if args.quick:
+        jobs = [("red_green", showcase_red_green, 48, 27, 4)]
+    else:
+        jobs = [
+            ("red_green", showcase_red_green, 96, 54, args.steps),
+            ("spheres", showcase_spheres, 96, 54, args.steps),
+            # the oracle tests every triangle per segment in Python:
+            # keep the mesh small (subdiv-1 icospheres, 160 tris) and the
+            # grid coarse for the mesh scene
+            ("model", lambda: showcase_model(subdivisions=1), 64, 36,
+             max(4, args.steps // 2)),
+        ]
+
+    rows = []
+    for name, builder, w, h, steps in jobs:
+        rows.append(run_scene(name, builder, w, h, steps))
+        print(rows[-1])
+
+    print("\n| scene | resolution | steps | RMSE (linear radiance) | "
+          "RMSE (tonemapped u8) | pixels off by >1/255 |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['scene']} | {r['res']} | {r['steps']} | "
+              f"{r['rmse_linear']:.3e} | {r['rmse_u8']:.4f} | "
+              f"{r['pixels_off_by_gt1']:.2%} |")
+
+
+if __name__ == "__main__":
+    main()

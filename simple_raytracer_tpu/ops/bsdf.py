@@ -58,10 +58,11 @@ class MatFields(NamedTuple):
 def gather_materials(materials: MaterialsSoA, idx: jnp.ndarray) -> MatFields:
     """Per-ray material field gather by (R,) index array.
 
-    All 12 fields fetched with ONE one-hot MXU matmul — per-field dynamic
-    gathers are element-serial on TPU when the table is a jit argument
-    (see ops.gather)."""
-    from .gather import table_gather
+    All 12 fields fetched with ONE transposed one-hot MXU matmul into
+    (12, R) — per-field dynamic gathers are element-serial on TPU when the
+    table is a jit argument, and an (R, F) result's column slices each
+    re-scan the lane-padded buffer (see ops.gather)."""
+    from .gather import table_gather_t
 
     table = jnp.stack([
         materials.smoothness, materials.metallic, materials.specular,
@@ -70,16 +71,16 @@ def gather_materials(materials: MaterialsSoA, idx: jnp.ndarray) -> MatFields:
         materials.color.x, materials.color.y, materials.color.z,
         materials.emission.x, materials.emission.y, materials.emission.z,
     ], axis=-1)
-    rows = table_gather(table, idx)
+    rows = table_gather_t(table, idx)           # (12, R)
     return MatFields(
-        smoothness=rows[:, 0],
-        metallic=rows[:, 1],
-        specular=rows[:, 2],
-        emission_strength=rows[:, 3],
-        transmittance=rows[:, 4],
-        refraction_index=rows[:, 5],
-        color=Vec3(rows[:, 6], rows[:, 7], rows[:, 8]),
-        emission=Vec3(rows[:, 9], rows[:, 10], rows[:, 11]),
+        smoothness=rows[0],
+        metallic=rows[1],
+        specular=rows[2],
+        emission_strength=rows[3],
+        transmittance=rows[4],
+        refraction_index=rows[5],
+        color=Vec3(rows[6], rows[7], rows[8]),
+        emission=Vec3(rows[9], rows[10], rows[11]),
     )
 
 

@@ -28,6 +28,16 @@ def onehot_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.dot(oh, table, precision=jax.lax.Precision.HIGHEST)
 
 
+def onehot_gather_t(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(K, F) table, (R,) int indices -> (F, R) columns, via a transposed
+    one-hot MXU contraction (exact: 0/1 weights select one row)."""
+    k = table.shape[0]
+    iota = jnp.arange(k, dtype=jnp.int32)[:, None]
+    oh = (iota == idx.astype(jnp.int32)[None, :]).astype(table.dtype)
+    return jax.lax.dot_general(table, oh, (((0,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+
+
 def table_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Row fetch with the TPU-appropriate strategy by table size.
 
@@ -41,3 +51,13 @@ def table_gather(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     if table.shape[0] <= ONEHOT_MAX_ROWS:
         return onehot_gather(table, idx)
     return table[idx]
+
+
+def table_gather_t(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row fetch returning the TRANSPOSED (F, R) result — the layout hot
+    consumers should use on TPU (see table_gather's warning).  Small tables
+    produce it directly on the MXU; large tables pay one gather plus a
+    transpose (still one scan instead of one per consumed field)."""
+    if table.shape[0] <= ONEHOT_MAX_ROWS:
+        return onehot_gather_t(table, idx)
+    return table[idx].T

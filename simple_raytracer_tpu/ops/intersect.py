@@ -277,10 +277,12 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
 
     position = o + d * t
 
-    # All winner-attribute fetches go through ops.gather (one-hot MXU
-    # matmul for small tables / row gather for big ones): per-component
-    # dynamic gathers from jit-argument tables are element-serial on TPU.
-    from .gather import table_gather
+    # All winner-attribute fetches go through ops.gather in TRANSPOSED
+    # (F, R) orientation (one-hot MXU matmul for small tables / row gather
+    # + transpose for big ones): per-component dynamic gathers from
+    # jit-argument tables are element-serial on TPU, and (R, F) results'
+    # column slices each re-scan the lane-padded buffer.
+    from .gather import table_gather_t
 
     # sphere shading: n = (pos - center) / radius   (render.cl:311-312)
     if has_spheres:
@@ -288,9 +290,9 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
                              scene.spheres.center.z, scene.spheres.radius,
                              scene.spheres.material.astype(jnp.float32)],
                             axis=-1)
-        srow = table_gather(sph_tab, i_s)
-        n_sph = (position - Vec3(srow[:, 0], srow[:, 1], srow[:, 2])) / srow[:, 3]
-        sph_material = srow[:, 4]
+        srow = table_gather_t(sph_tab, i_s)
+        n_sph = (position - Vec3(srow[0], srow[1], srow[2])) / srow[3]
+        sph_material = srow[4]
     else:
         n_sph = Vec3(inf, inf, inf)
         sph_material = jnp.zeros_like(o.x)
@@ -301,9 +303,9 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
                              scene.planes.normal.z,
                              scene.planes.material.astype(jnp.float32)],
                             axis=-1)
-        prow = table_gather(pln_tab, i_p)
-        n_pln = Vec3(prow[:, 0], prow[:, 1], prow[:, 2])
-        pln_material = prow[:, 3]
+        prow = table_gather_t(pln_tab, i_p)
+        n_pln = Vec3(prow[0], prow[1], prow[2])
+        pln_material = prow[3]
     else:
         n_pln = Vec3(inf, inf, inf)
         pln_material = jnp.zeros_like(o.x)
@@ -331,16 +333,16 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         n_tri = normalize(n_tri)
         tri_material = tri_attrs[18]
     else:
-        trow = table_gather(scene.triangles.shade, i_t)
-        tv0 = Vec3(trow[:, 0], trow[:, 1], trow[:, 2])
-        tv1 = Vec3(trow[:, 3], trow[:, 4], trow[:, 5])
-        tv2 = Vec3(trow[:, 6], trow[:, 7], trow[:, 8])
+        trow = table_gather_t(scene.triangles.shade, i_t)   # (20, R)
+        tv0 = Vec3(trow[0], trow[1], trow[2])
+        tv1 = Vec3(trow[3], trow[4], trow[5])
+        tv2 = Vec3(trow[6], trow[7], trow[8])
         wx, wy, wz = barycentric_weights(tv0, tv1, tv2, position)
-        n_tri = (Vec3(trow[:, 9], trow[:, 10], trow[:, 11]) * wx
-                 + Vec3(trow[:, 12], trow[:, 13], trow[:, 14]) * wy
-                 + Vec3(trow[:, 15], trow[:, 16], trow[:, 17]) * wz)
+        n_tri = (Vec3(trow[9], trow[10], trow[11]) * wx
+                 + Vec3(trow[12], trow[13], trow[14]) * wy
+                 + Vec3(trow[15], trow[16], trow[17]) * wz)
         n_tri = normalize(n_tri)
-        tri_material = trow[:, 18]
+        tri_material = trow[18]
 
     normal = vwhere(is_s, n_sph, vwhere(is_p, n_pln, n_tri))
     material = jnp.where(
