@@ -63,14 +63,12 @@ class Scene:
     """Mutable scene: primitive lists + shared triangle pool + materials."""
 
     # meshes at or above this triangle count get BVH clusters baked for
-    # the packet-culling kernels; smaller ones stay dense.  Scenes whose
-    # padded cluster table fits VMEM use fine clusters (vmem_cluster_size)
-    # plus the transposed table for the VMEM-resident kernel; larger
-    # scenes use coarse clusters for the HBM/DMA kernel.
+    # the packet-culling kernel (ops/pallas/bvh_kernel.py); smaller ones
+    # stay dense.  One table layout serves both kernel variants — the
+    # kernel keeps it VMEM-resident when it fits and streams it from HBM
+    # with double-buffered DMA otherwise.
     cluster_threshold: int = 512
-    cluster_size: int = 1024           # HBM/DMA kernel cluster size
-    vmem_cluster_size: int = 128       # VMEM kernel cluster size
-    vmem_table_slots: int = 8192       # max padded slots kept in VMEM (4 MB)
+    cluster_size: int = 128
 
     def __init__(self, default_material: bool = True):
         self.spheres: List[Sphere] = []
@@ -246,13 +244,7 @@ class Scene:
         clusters_soa = None
         if n >= self.cluster_threshold:
             from .. import accel
-            # try fine clusters for the VMEM kernel first; fall back to
-            # coarse clusters for the HBM/DMA kernel when the padded table
-            # would not fit the VMEM budget
-            cl = accel.build_clusters(pos, k=self.vmem_cluster_size)
-            vmem_ok = cl.slots.size <= self.vmem_table_slots
-            if not vmem_ok:
-                cl = accel.build_clusters(pos, k=self.cluster_size)
+            cl = accel.build_clusters(pos, k=self.cluster_size)
             perm = cl.order
             pos, nrm, mat = pos[perm], nrm[perm], mat[perm]
             e1 = pos[:, 1] - pos[:, 0]
@@ -261,29 +253,23 @@ class Scene:
             valid = slot >= 0
             si = np.clip(slot, 0, n - 1)
             c, k = slot.shape
-            table = np.zeros((16, c * k), np.float32)
-            table[0:3] = pos[si, 0].reshape(c * k, 3).T
-            table[3:6] = e1[si].reshape(c * k, 3).T
-            table[6:9] = e2[si].reshape(c * k, 3).T
-            table[9] = valid.reshape(-1).astype(np.float32)
-            table[10] = si.reshape(-1).astype(np.float32)  # global index
-            table_t = None
-            if vmem_ok:
-                # VMEM kernel layout (bvh_kernel.py): transposed, with the
-                # 19 shading attributes CONTIGUOUS in cols 0..18 so the
-                # kernel can extract the winner's row with one matmul:
-                #   0-8 v0/e1/e2, 9-17 n0/n1/n2, 18 material,
-                #   19 active, 20 global index (f32)
-                table_t = np.zeros((c * k, 32), np.float32)
-                table_t[:, 0:9] = table[0:9].T
-                table_t[:, 9:18] = nrm[si].reshape(c * k, 9)
-                table_t[:, 18] = mat[si].reshape(-1).astype(np.float32)
-                table_t[:, 19] = table[9]    # active
-                table_t[:, 20] = table[10]   # global index
-                table_t = jnp.asarray(table_t)
+            # kernel table layout (bvh_kernel.py): one (slots, 128) row
+            # per cluster slot (128 lanes so HBM DMA slices are
+            # tile-aligned; VMEM padding made it 128 physically anyway),
+            # the 19 shading attributes CONTIGUOUS in cols 0..18 so the
+            # kernel extracts the winner's row with one matmul:
+            # 0-8 v0/e1/e2, 9-17 n0/n1/n2, 18 material, 19 active,
+            # 20 global index (f32), 21+ zero padding
+            table_t = np.zeros((c * k, 128), np.float32)
+            table_t[:, 0:3] = pos[si, 0].reshape(c * k, 3)
+            table_t[:, 3:6] = e1[si].reshape(c * k, 3)
+            table_t[:, 6:9] = e2[si].reshape(c * k, 3)
+            table_t[:, 9:18] = nrm[si].reshape(c * k, 9)
+            table_t[:, 18] = mat[si].reshape(-1).astype(np.float32)
+            table_t[:, 19] = valid.reshape(-1).astype(np.float32)
+            table_t[:, 20] = si.reshape(-1).astype(np.float32)
             clusters_soa = TriangleClustersSoA(
-                aabb=jnp.asarray(cl.aabb), table=jnp.asarray(table),
-                table_t=table_t)
+                aabb=jnp.asarray(cl.aabb), table_t=jnp.asarray(table_t))
 
         cap = _bucket(n)
         pad = cap - n

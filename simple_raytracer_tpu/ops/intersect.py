@@ -198,14 +198,12 @@ def _tri_backend_auto(scene: DeviceScene) -> str:
     # Measured on TPU v5e: XLA's fused brute-force loop runs at ~54
     # Gtests/s (VPU-bound) and BEATS the blockwise Pallas kernel (~48) on
     # the same algorithm, so dense scenes keep the jnp path.  When the
-    # scene build baked BVH clusters, the packet-culling kernels win by
-    # skipping work the dense path must execute: the VMEM-resident "bvh"
-    # kernel (12x dense on config 4 primaries) when the table fits VMEM,
-    # the HBM/DMA "clustered" kernel otherwise.
+    # scene build baked BVH clusters, the packet-culling kernel wins by
+    # skipping work the dense path must execute (12x dense on config 4
+    # primaries); it keeps the table VMEM-resident when it fits and
+    # streams it from HBM otherwise.
     if scene.triangles.clusters is not None and jax.default_backend() == "tpu":
-        if scene.triangles.clusters.table_t is not None:
-            return "bvh"
-        return "clustered"
+        return "bvh"
     return "jnp"
 
 
@@ -243,8 +241,8 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
     tri_attrs = None
     if not has_tris:
         t_t, i_t = inf, zero_i
-    elif tri_backend == "bvh" and scene.triangles.clusters is not None \
-            and scene.triangles.clusters.table_t is not None:
+    elif tri_backend in ("bvh", "clustered") \
+            and scene.triangles.clusters is not None:
         from .pallas.bvh_kernel import intersect_triangles_bvh
         alive_f = (jnp.ones_like(o.x) if alive is None
                    else alive.astype(jnp.float32))
@@ -252,16 +250,12 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         # seed the slab far bound with the best sphere/plane hit so
         # clusters behind a known hit are culled (render.cl:319 semantics)
         t_seed = jnp.minimum(t_s, t_p)
+        # "clustered" (the round-1 backend name) forces the HBM/DMA table
+        # placement; "bvh" lets the kernel pick by table size
         t_t, i_t, tri_attrs = intersect_triangles_bvh(
-            o, d, alive_f, t_seed, cl.aabb, cl.table_t, with_attrs=True)
+            o, d, alive_f, t_seed, cl.aabb, cl.table_t, with_attrs=True,
+            hbm_table=True if tri_backend == "clustered" else None)
         i_t = jnp.maximum(i_t, 0)   # -1 (no win) -> any index; t is +inf
-    elif tri_backend == "clustered" and scene.triangles.clusters is not None:
-        from .pallas.cluster_kernel import intersect_triangles_clustered
-        alive_f = (jnp.ones_like(o.x) if alive is None
-                   else alive.astype(jnp.float32))
-        cl = scene.triangles.clusters
-        t_t, i_t = intersect_triangles_clustered(o, d, alive_f, cl.aabb,
-                                                 cl.table)
     elif tri_backend == "pallas":
         from .pallas.triangle_kernel import (intersect_triangles_pallas,
                                              pack_triangles)

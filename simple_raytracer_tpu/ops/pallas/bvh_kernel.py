@@ -1,8 +1,8 @@
 """Pallas TPU kernel: BVH-clustered ray x triangle intersection with an
 XLA-side visit prepass and a VMEM-resident triangle table.
 
-Second-generation mesh kernel (the first is cluster_kernel.py).  Four
-structural changes, each fixing a measured round-1/round-2 bottleneck:
+Second-generation mesh kernel (it replaced the round-1 DMA cluster
+kernel).  Four structural changes, each fixing a measured bottleneck:
 
 1. **Visit decisions move OUT of the kernel.**  The per-(ray, cluster)
    slab test runs as ordinary fused XLA ops in (C, R) orientation —
@@ -19,7 +19,10 @@ structural changes, each fixing a measured round-1/round-2 bottleneck:
    on it serially (~2 us latency per visit, which forced K=1024 and made
    culling coarse).  Small-to-mid meshes fit in VMEM outright, so a
    visited tile is an aligned slice — no DMA, no wait, and K drops to
-   128 for 8x finer culling.  Larger scenes keep cluster_kernel.py.
+   128 for 8x finer culling.  Larger scenes stream the same table from
+   HBM with double-buffered per-visit DMA over an in-kernel compacted
+   visit list (_kernel_hbm), hiding the copy latency behind the
+   intersection math.
 
 3. **The slab far bound is seeded with the ray's current best t**
    (sphere/plane hits from the dense pass), so secondary rays that hit
@@ -32,7 +35,7 @@ structural changes, each fixing a measured round-1/round-2 bottleneck:
    intersection math.  Rays are (8, R), the output is (2, R), per-ray
    running state is (1, BR), and Moller-Trumbore runs in (K, BR)
    orientation with triangle attributes as (K, 1) sublane columns sliced
-   straight from a (C*K, 16) table.
+   straight from the (C*K, 128) table.
 
 Culling is conservative exactly like the reference's AABB gate
 (render.cl:316-331): a cluster is visited if ANY ray in the block might
@@ -42,6 +45,7 @@ results are bit-identical to the brute-force path.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -112,18 +116,13 @@ _N_ATTRS = 19   # cols 0..18, returned for the winning triangle
 
 def _kernel(visit, count, rays, table_t, out, t_scr, idx_scr, attr_scr,
             *, block_l, n_clusters, with_attrs):
+    """VMEM-resident-table variant: a visited cluster's tile is an
+    aligned slice of the resident table — no data movement at all."""
     b = pl.program_id(0)     # visit/count are whole SMEM arrays (block
     t_scr[...] = rays[7:8, :]                      # tables), indexed per block
     idx_scr[...] = jnp.full(idx_scr.shape, -1, jnp.int32)
     if with_attrs:
         attr_scr[...] = jnp.zeros(attr_scr.shape, jnp.float32)
-
-    rox = rays[0:1, :]
-    roy = rays[1:2, :]
-    roz = rays[2:3, :]
-    rdx = rays[3:4, :]
-    rdy = rays[4:5, :]
-    rdz = rays[5:6, :]
 
     def visit_cluster(c, _):
         word = visit[b, c // 32]
@@ -132,69 +131,8 @@ def _kernel(visit, count, rays, table_t, out, t_scr, idx_scr, attr_scr,
         @pl.when(bit > 0)
         def _():
             row0 = pl.multiple_of(c * block_l, block_l)
-            sl = lambda j: table_t[pl.ds(row0, block_l), j:j + 1]  # (K, 1)
-            v0x = sl(0)
-            v0y = sl(1)
-            v0z = sl(2)
-            e1x = sl(3)
-            e1y = sl(4)
-            e1z = sl(5)
-            e2x = sl(6)
-            e2y = sl(7)
-            e2z = sl(8)
-            act = sl(19)
-            gidx = sl(20)                           # global index as f32
-
-            # Moller-Trumbore (render.cl:243-275) in (K, BR) orientation
-            hx = rdy * e2z - rdz * e2y
-            hy = rdz * e2x - rdx * e2z
-            hz = rdx * e2y - rdy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a
-            sx = rox - v0x
-            sy = roy - v0y
-            sz = roz - v0z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (rdx * qx + rdy * qy + rdz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            valid = (
-                (a != 0.0)
-                & (u >= 0.0) & (u <= 1.0)
-                & (v >= 0.0) & (u + v <= 1.0)
-                & (t > 0.0)
-                & (act > 0.0)
-            )
-            t = jnp.where(valid, t, jnp.inf)
-            local_t = jnp.min(t, axis=0, keepdims=True)           # (1, BR)
-            local_if = jnp.min(
-                jnp.where(t == local_t, gidx, jnp.float32(2e9)),
-                axis=0, keepdims=True)
-            better = local_t < t_scr[...]
-            t_scr[...] = jnp.where(better, local_t, t_scr[...])
-            idx_scr[...] = jnp.where(better, local_if.astype(jnp.int32),
-                                     idx_scr[...])
-
-            if with_attrs:
-                # winner's shading attributes, extracted HERE: any
-                # post-kernel row gather of (R, F) shading data re-scans
-                # its 128-lane-padded buffer once per consumed column
-                # (measured 5.7 ms/column at 1080p, and XLA folds explicit
-                # transposes back into bitcasts).  `sel` is a one-hot over
-                # the tile (winner matched by unique global index), so a
-                # single MXU contraction (19, K) x (K, BR) reproduces the
-                # attribute row exactly — 0/1 weights select one table
-                # entry per ray with no rounding.
-                sel = jnp.where((t == local_t) & (gidx == local_if),
-                                1.0, 0.0)
-                tile_attr = table_t[pl.ds(row0, block_l), 0:_N_ATTRS]
-                new_attr = jax.lax.dot_general(
-                    tile_attr, sel, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)      # (19, BR)
-                attr_scr[...] = jnp.where(better, new_attr, attr_scr[...])
+            tile = table_t[pl.ds(row0, block_l), :]
+            _mt_update(tile, rays, t_scr, idx_scr, attr_scr, with_attrs)
 
         return 0
 
@@ -212,19 +150,161 @@ def _kernel(visit, count, rays, table_t, out, t_scr, idx_scr, attr_scr,
     out[...] = jnp.concatenate(rows, axis=0)
 
 
+def _mt_update(tile, rays, t_scr, idx_scr, attr_scr, with_attrs):
+    """Moller-Trumbore (render.cl:243-275) for one (K, 32) triangle tile
+    against the block's rays in (K, BR) orientation, updating the running
+    (t, idx, attrs) state.  Shared by the VMEM path (tile = aligned table
+    slice) and the HBM path (tile = DMA'd scratch).
+
+    with_attrs also extracts the winner's 19 shading attributes HERE: any
+    post-kernel row gather of (R, F) shading data re-scans its
+    128-lane-padded buffer once per consumed column (measured 5.7 ms per
+    column at 1080p, and XLA folds explicit transposes back into
+    bitcasts).  `sel` is a one-hot over the tile (winner matched by its
+    unique global index), so one MXU contraction (19, K) x (K, BR)
+    reproduces the attribute row exactly — 0/1 weights select a single
+    table entry per ray with no rounding."""
+    rox = rays[0:1, :]
+    roy = rays[1:2, :]
+    roz = rays[2:3, :]
+    rdx = rays[3:4, :]
+    rdy = rays[4:5, :]
+    rdz = rays[5:6, :]
+    sl = lambda j: tile[:, j:j + 1]                    # (K, 1)
+    v0x, v0y, v0z = sl(0), sl(1), sl(2)
+    e1x, e1y, e1z = sl(3), sl(4), sl(5)
+    e2x, e2y, e2z = sl(6), sl(7), sl(8)
+    act = sl(19)
+    gidx = sl(20)
+
+    hx = rdy * e2z - rdz * e2y
+    hy = rdz * e2x - rdx * e2z
+    hz = rdx * e2y - rdy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / a
+    sx = rox - v0x
+    sy = roy - v0y
+    sz = roz - v0z
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (rdx * qx + rdy * qy + rdz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    valid = (
+        (a != 0.0)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 0.0)
+        & (act > 0.0)
+    )
+    t = jnp.where(valid, t, jnp.inf)
+    local_t = jnp.min(t, axis=0, keepdims=True)        # (1, BR)
+    local_if = jnp.min(jnp.where(t == local_t, gidx, jnp.float32(2e9)),
+                       axis=0, keepdims=True)
+    better = local_t < t_scr[...]
+    t_scr[...] = jnp.where(better, local_t, t_scr[...])
+    idx_scr[...] = jnp.where(better, local_if.astype(jnp.int32),
+                             idx_scr[...])
+    if with_attrs:
+        sel = jnp.where((t == local_t) & (gidx == local_if), 1.0, 0.0)
+        new_attr = jax.lax.dot_general(
+            tile[:, 0:_N_ATTRS], sel, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (19, BR)
+        attr_scr[...] = jnp.where(better, new_attr, attr_scr[...])
+
+
+def _kernel_hbm(visit, count, rays, table_hbm, out, t_scr, idx_scr,
+                attr_scr, lst, buf, sems, *, block_l, n_clusters,
+                with_attrs):
+    """HBM-table variant for meshes too large for VMEM residence: walk the
+    visit bitmask once to compact the visited cluster ids into SMEM, then
+    stream their (K, 32) tiles HBM->VMEM with double-buffered DMA — the
+    next tile's fetch overlaps the current tile's Moller-Trumbore, hiding
+    the ~2 us per-copy latency that throttled the round-1 DMA kernel."""
+    b = pl.program_id(0)
+    t_scr[...] = rays[7:8, :]
+    idx_scr[...] = jnp.full(idx_scr.shape, -1, jnp.int32)
+    if with_attrs:
+        attr_scr[...] = jnp.zeros(attr_scr.shape, jnp.float32)
+
+    n_words = (n_clusters + 31) // 32
+
+    def scan_word(w, n):
+        word = visit[b, w]
+
+        def scan_bits(_):
+            def bit(i, n):
+                c = w * 32 + i
+
+                @pl.when(((word >> i) & 1) > 0)
+                def _():
+                    lst[0, n] = c
+                return jnp.where(((word >> i) & 1) > 0, n + 1, n)
+            return jax.lax.fori_loop(0, 32, bit, n)
+
+        return jax.lax.cond(word != 0, scan_bits, lambda _: n, 0)
+
+    n = jax.lax.fori_loop(0, n_words, scan_word, 0)
+
+    def dma(j, slot):
+        c = lst[0, j]
+        row0 = pl.multiple_of(c * block_l, block_l)
+        return pltpu.make_async_copy(
+            table_hbm.at[pl.ds(row0, block_l), :], buf.at[slot],
+            sems.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        dma(0, 0).start()
+
+        def process(j, _):
+            slot = j % 2
+
+            @pl.when(j + 1 < n)
+            def _():
+                dma(j + 1, (j + 1) % 2).start()
+
+            dma(j, slot).wait()
+            _mt_update(buf[slot], rays, t_scr, idx_scr, attr_scr,
+                       with_attrs)
+            return 0
+
+        jax.lax.fori_loop(0, n, process, 0)
+
+    no_win = idx_scr[...] < 0
+    t_out = jnp.where(no_win, jnp.float32(jnp.inf), t_scr[...])
+    rows = [t_out, pltpu.bitcast(idx_scr[...], jnp.float32)]
+    if with_attrs:
+        rows.append(attr_scr[...])
+    out[...] = jnp.concatenate(rows, axis=0)
+
+
+# A (slots, 128) f32 table costs 512 B/slot in VMEM;
+# tables above this many slots use the HBM/DMA kernel instead of VMEM
+# residence (4 MB — leaves room for the (K, BR) compute temporaries).
+VMEM_TABLE_MAX_SLOTS = 8192
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("block_r", "interpret", "with_attrs"))
+                   static_argnames=("block_r", "interpret", "with_attrs",
+                                    "hbm_table"))
 def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             t_init: jnp.ndarray, aabb: jnp.ndarray,
                             table_t: jnp.ndarray, block_r: int = 1536,
                             interpret: bool = False,
-                            with_attrs: bool = False):
+                            with_attrs: bool = False,
+                            hbm_table: Optional[bool] = None):
     """(R,) rays x clustered triangles -> nearest-hit per ray.
 
     `alive`: (R,) f32 mask — dead rays generate no cluster visits.
     `t_init`: (R,) f32 — current best t from other primitive types; the
     kernel only reports triangle hits strictly closer than this.
-    `aabb`: (C, 8) f32, `table_t`: (C*K, 32) f32 from the scene build.
+    `aabb`: (C, 8) f32, `table_t`: (C*K, 128) f32 from the scene build.
+    `hbm_table` selects where the table lives during the kernel: False =
+    VMEM-resident (small/mid meshes), True = HBM with double-buffered
+    per-visit DMA; None picks by size (VMEM_TABLE_MAX_SLOTS).
     Returns (t_best (R,), idx_best (R,) i32) with idx == -1 and t == +inf
     where no triangle won; with_attrs=True additionally returns the
     winner's (19, R) shading attributes [v0, e1, e2, n0, n1, n2, mat]."""
@@ -232,6 +312,8 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     n_clusters = aabb.shape[0]
     block_l = table_t.shape[0] // max(n_clusters, 1)
     n_out = 2 + (_N_ATTRS if with_attrs else 0)
+    if hbm_table is None:
+        hbm_table = table_t.shape[0] > VMEM_TABLE_MAX_SLOTS
 
     # Mosaic charges ~0.5 KB of scoped SMEM per grid step and v5e SMEM is
     # 1 MB, so one call is capped at ~1600 blocks; larger ray batches run
@@ -248,7 +330,7 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                 Vec3(d.x[sl], d.y[sl], d.z[sl]),
                 alive[sl], t_init[sl], aabb, table_t,
                 block_r=block_r, interpret=interpret,
-                with_attrs=with_attrs))
+                with_attrs=with_attrs, hbm_table=hbm_table))
         return tuple(jnp.concatenate([p[i] for p in parts], axis=-1)
                      for i in range(len(parts[0])))
 
@@ -265,28 +347,45 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     visits, counts = _visit_prepass(o, d, alive, t_init, aabb, block_r,
                                     pad_r)
 
+    scratch = [
+        pltpu.VMEM((1, block_r), jnp.float32),
+        pltpu.VMEM((1, block_r), jnp.int32),
+        pltpu.VMEM((_N_ATTRS if with_attrs else 1, block_r), jnp.float32),
+    ]
+    if hbm_table:
+        kernel = functools.partial(_kernel_hbm, block_l=block_l,
+                                   n_clusters=n_clusters,
+                                   with_attrs=with_attrs)
+        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch += [
+            pltpu.SMEM((1, n_clusters), jnp.int32),       # visit list
+            pltpu.VMEM((2, block_l, table_t.shape[1]),
+                       jnp.float32),                      # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kernel = functools.partial(_kernel, block_l=block_l,
+                                   n_clusters=n_clusters,
+                                   with_attrs=with_attrs)
+        # whole triangle table resident in VMEM for every block
+        table_spec = pl.BlockSpec((table_t.shape[0], table_t.shape[1]),
+                                  lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
-        functools.partial(_kernel, block_l=block_l, n_clusters=n_clusters,
-                          with_attrs=with_attrs),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            # whole triangle table resident in VMEM for every block
-            pl.BlockSpec((table_t.shape[0], table_t.shape[1]),
-                         lambda i: (0, 0), memory_space=pltpu.VMEM),
+            table_spec,
         ],
         out_specs=pl.BlockSpec((n_out, block_r), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, rp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((1, block_r), jnp.float32),
-            pltpu.VMEM((1, block_r), jnp.int32),
-            pltpu.VMEM((_N_ATTRS if with_attrs else 1, block_r),
-                       jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(visits, counts, rays, table_t)
 

@@ -65,20 +65,17 @@ class TrianglesSoA(NamedTuple):
 
 
 class TriangleClustersSoA(NamedTuple):
-    """Device layout of accel.Clusters for the packet culling kernels.
+    """Device layout of accel.Clusters for the packet-culling kernel
+    (ops/pallas/bvh_kernel.py).
 
     The triangle SoA arrays are BVH-reordered at scene build so cluster c
-    owns the K consecutive table columns [c*K, (c+1)*K); `table` rows are
-    [v0.xyz, e1.xyz, e2.xyz, active, global_index_f32, pad...] (the global
-    index is stored as f32 — exact below 2^24 triangles).
-
-    `table_t` is the same data transposed to (C*K, 16) for the
-    VMEM-resident kernel (ops/pallas/bvh_kernel.py), which slices triangle
-    attributes as (K, 1) sublane columns; it is None for large scenes
-    whose table must stay in HBM (the DMA kernel path)."""
-    aabb: jnp.ndarray    # (C, 8) f32: [min.xyz, max.xyz, pad, pad]
-    table: jnp.ndarray   # (16, C*K) f32
-    table_t: Optional[jnp.ndarray] = None   # (C*K, 16) f32
+    owns the K consecutive table rows [c*K, (c+1)*K); each (32,) row is
+    [v0.xyz, e1.xyz, e2.xyz, n0/n1/n2 (9), material, active,
+    global_index_f32, pad to 128 lanes] (indices stored as f32 — exact below 2^24
+    triangles).  The kernel keeps the table VMEM-resident when it fits
+    and DMA-streams visited row tiles from HBM otherwise."""
+    aabb: jnp.ndarray      # (C, 8) f32: [min.xyz, max.xyz, pad, pad]
+    table_t: jnp.ndarray   # (C*K, 128) f32
 
 
 class MaterialsSoA(NamedTuple):

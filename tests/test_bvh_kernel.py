@@ -18,7 +18,7 @@ def _mesh_scene():
     pos, nrm = icosphere(subdivisions=2)  # 320 tris
     sc = Scene()
     sc.cluster_threshold = 64
-    sc.vmem_cluster_size = 128
+    sc.cluster_size = 128
     span = sc.pool.append(pos, nrm)
     sc.add_model(span)
     return sc.build()
@@ -132,12 +132,51 @@ def test_bvh_rays_from_inside_mesh():
     np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5)
 
 
+@pytest.mark.parametrize("with_attrs", [False, True])
+def test_hbm_variant_matches_vmem(with_attrs):
+    """The HBM/DMA double-buffered path returns exactly what the
+    VMEM-resident path returns."""
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    o, d = _rays(700, seed=7)
+    alive = jnp.ones_like(o.x)
+    t_init = jnp.full_like(o.x, jnp.inf)
+    a = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb, cl.table_t,
+                                block_r=128, interpret=True,
+                                with_attrs=with_attrs, hbm_table=False)
+    b = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb, cl.table_t,
+                                block_r=128, interpret=True,
+                                with_attrs=with_attrs, hbm_table=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert (np.asarray(a[1]) >= 0).any()   # some triangle wins exercised
+
+
+def test_hbm_variant_with_t_init_and_dead_rays():
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    o, d = _rays(512, seed=8)
+    t_ref, _ = intersect_triangles(o, d, ds.triangles, chunk=4096)
+    alive = jnp.ones_like(o.x)
+    t_k, i_k = intersect_triangles_bvh(o, d, alive,
+                                       jnp.full_like(o.x, 2.0),
+                                       cl.aabb, cl.table_t, block_r=128,
+                                       interpret=True, hbm_table=True)
+    wins = np.asarray(t_ref) < 2.0
+    np.testing.assert_array_equal(wins, np.asarray(i_k) >= 0)
+    t_k, i_k = intersect_triangles_bvh(o, d, jnp.zeros_like(o.x),
+                                       jnp.full_like(o.x, jnp.inf),
+                                       cl.aabb, cl.table_t, block_r=128,
+                                       interpret=True, hbm_table=True)
+    assert (np.asarray(i_k) == -1).all()
+
+
 def test_scene_build_table_t_layout():
     """Scene.build bakes the documented column layout into table_t."""
     ds = _mesh_scene()
     cl = ds.triangles.clusters
     tt = np.asarray(cl.table_t)
-    assert tt.shape[1] == 32
+    assert tt.shape[1] == 128
     act = tt[:, 19] > 0
     gidx = tt[act, 20].astype(np.int64)
     v0 = np.stack([np.asarray(ds.triangles.v0.x), np.asarray(ds.triangles.v0.y),
@@ -168,9 +207,10 @@ def test_end_to_end_bvh_render_matches_jnp():
     orig = bk.intersect_triangles_bvh
 
     def interp(o, d, alive, t_init, aabb, table_t, block_r=1536,
-               interpret=False, with_attrs=False):
+               interpret=False, with_attrs=False, hbm_table=None):
         return orig(o, d, alive, t_init, aabb, table_t, block_r=128,
-                    interpret=True, with_attrs=with_attrs)
+                    interpret=True, with_attrs=with_attrs,
+                    hbm_table=hbm_table)
 
     bk.intersect_triangles_bvh = interp
     try:

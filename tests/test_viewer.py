@@ -127,22 +127,37 @@ def test_edit_add_shape_resets_accumulation(server):
     assert loop.reset_count > resets   # rerender=true contract
 
 
+def _frame_rgb(srv):
+    """Decode /frame.png (the thread-safe snapshot; reading
+    loop.renderer.image() from the test thread races canvas donation)."""
+    import io as _io
+    from PIL import Image
+    data = _get(srv, "/frame.png").read()
+    return np.asarray(Image.open(_io.BytesIO(data)).convert("RGB"),
+                      np.int32)
+
+
 def test_edit_render_changes_after_emissive_edit(server):
     srv, loop = server
+    import urllib.error
     deadline = time.time() + 240
-    while loop.renderer.num_steps < 1 and time.time() < deadline:
+    while time.time() < deadline:
         assert loop.error is None, loop.error
-        time.sleep(0.2)
-    before = np.asarray(loop.renderer.image()).astype(np.int32)
+        try:
+            before = _frame_rgb(srv)
+            break
+        except urllib.error.HTTPError:   # 503 until the first frame
+            time.sleep(0.2)
+    else:
+        pytest.fail("no first frame")
     # make the only material strongly emissive red: image must brighten
     _edit(srv, {"op": "update_material", "index": 0,
                 "fields": {"emission": [1, 0, 0], "emission_strength": 10}})
     deadline = time.time() + 240
     while time.time() < deadline:
-        if loop.renderer.num_steps >= 1:
-            after = np.asarray(loop.renderer.image()).astype(np.int32)
-            if after[..., 0].mean() > before[..., 0].mean() + 30:
-                break
+        after = _frame_rgb(srv)
+        if after[..., 0].mean() > before[..., 0].mean() + 30:
+            break
         time.sleep(0.2)
     else:
         pytest.fail("render did not change after the material edit")
