@@ -215,38 +215,94 @@ def _mt_update(tile, rays, t_scr, idx_scr, attr_scr, with_attrs):
         attr_scr[...] = jnp.where(better, new_attr, attr_scr[...])
 
 
-def _kernel_hbm(visit, count, rays, table_hbm, out, t_scr, idx_scr,
+_SUPER = 16     # clusters per supercluster (the HBM path's coarse level);
+                # 16 bits sum exactly in f32 (max 65535 < 2^24)
+
+
+def _kernel_hbm(visit, count, rays, table_hbm, aabb, out, t_scr, idx_scr,
                 attr_scr, lst, buf, sems, *, block_l, n_clusters,
                 with_attrs):
-    """HBM-table variant for meshes too large for VMEM residence: walk the
-    visit bitmask once to compact the visited cluster ids into SMEM, then
-    stream their (K, 32) tiles HBM->VMEM with double-buffered DMA — the
-    next tile's fetch overlaps the current tile's Moller-Trumbore, hiding
-    the ~2 us per-copy latency that throttled the round-1 DMA kernel."""
+    """HBM-table variant for meshes too large for VMEM residence.
+
+    Two-level culling: the XLA prepass gates SUPERCLUSTERS (groups of
+    _SUPER clusters — a (C, R) per-ray slab at 82K triangles costs
+    ~16 ms/bounce, a (C/16, R) one ~1 ms), and for each visited
+    supercluster the kernel slab-tests its children at full lane width
+    in (16, BR) orientation against the running best t.  The per-child
+    hit flags leave vector-land as one exact f32 sum of powers of two
+    (Mosaic cannot scalar-read VMEM vectors), and the set bits append
+    their cluster ids to an SMEM list.  The list is then streamed with
+    double-buffered DMA — the next tile's fetch overlaps the current
+    tile's Moller-Trumbore, hiding the ~2 us per-copy latency that
+    throttled the round-1 DMA kernel."""
     b = pl.program_id(0)
     t_scr[...] = rays[7:8, :]
     idx_scr[...] = jnp.full(idx_scr.shape, -1, jnp.int32)
     if with_attrs:
         attr_scr[...] = jnp.zeros(attr_scr.shape, jnp.float32)
 
-    n_words = (n_clusters + 31) // 32
+    rox = rays[0:1, :]
+    roy = rays[1:2, :]
+    roz = rays[2:3, :]
+    inx = 1.0 / rays[3:4, :]
+    iny = 1.0 / rays[4:5, :]
+    inz = 1.0 / rays[5:6, :]
+    live = rays[6:7, :] > 0.0
+    weights16 = (2.0 ** jax.lax.broadcasted_iota(
+        jnp.int32, (_SUPER, 1), 0).astype(jnp.float32))
+
+    n_super = n_clusters // _SUPER
+    n_words = (n_super + 31) // 32
+
+    def visit_super(s, n):
+        """Fine slab for supercluster s's 16 children; append hits."""
+        tile = aabb[pl.ds(s * _SUPER, _SUPER), :]      # (16, 8)
+        col = lambda j: tile[:, j:j + 1]
+        t1x = (col(0) - rox) * inx
+        t2x = (col(3) - rox) * inx
+        t1y = (col(1) - roy) * iny
+        t2y = (col(4) - roy) * iny
+        t1z = (col(2) - roz) * inz
+        t2z = (col(5) - roz) * inz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.minimum(t1y, t2y)),
+                           jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                      jnp.maximum(t1y, t2y)),
+                          jnp.minimum(jnp.maximum(t1z, t2z), t_scr[...]))
+        maybe = jnp.logical_not(near >= far) & live    # (16, BR)
+        flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
+        word = jnp.sum(flags * weights16).astype(jnp.int32)
+
+        def append_bits(n):
+            def bit(i, n):
+                hit = ((word >> i) & 1) > 0
+
+                @pl.when(hit)
+                def _():
+                    lst[0, n] = s * _SUPER + i
+                return jnp.where(hit, n + 1, n)
+            return jax.lax.fori_loop(0, _SUPER, bit, n)
+
+        return jax.lax.cond(word != 0, append_bits, lambda nn: nn, n)
 
     def scan_word(w, n):
         word = visit[b, w]
 
-        def scan_bits(_):
+        def scan_bits(n):
             def bit(i, n):
-                c = w * 32 + i
-
-                @pl.when(((word >> i) & 1) > 0)
-                def _():
-                    lst[0, n] = c
-                return jnp.where(((word >> i) & 1) > 0, n + 1, n)
+                return jax.lax.cond(((word >> i) & 1) > 0,
+                                    lambda nn: visit_super(w * 32 + i, nn),
+                                    lambda nn: nn, n)
             return jax.lax.fori_loop(0, 32, bit, n)
 
-        return jax.lax.cond(word != 0, scan_bits, lambda _: n, 0)
+        return jax.lax.cond(word != 0, scan_bits, lambda nn: nn, n)
 
-    n = jax.lax.fori_loop(0, n_words, scan_word, 0)
+    # empty blocks (most of the sky, every fully-dead block) skip even
+    # the word scan — the prepass already counted their visits
+    n = jax.lax.cond(count[b] > 0,
+                     lambda _: jax.lax.fori_loop(0, n_words, scan_word, 0),
+                     lambda _: 0, 0)
 
     def dma(j, slot):
         c = lst[0, j]
@@ -344,8 +400,6 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
 
     rp = n_rays + pad_r
     grid = (rp // block_r,)
-    visits, counts = _visit_prepass(o, d, alive, t_init, aabb, block_r,
-                                    pad_r)
 
     scratch = [
         pltpu.VMEM((1, block_r), jnp.float32),
@@ -353,24 +407,49 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         pltpu.VMEM((_N_ATTRS if with_attrs else 1, block_r), jnp.float32),
     ]
     if hbm_table:
+        # HBM path: the XLA prepass gates SUPERCLUSTERS (groups of
+        # _SUPER); the kernel refines to children.  Pad the cluster list
+        # to a _SUPER multiple with point-at-infinity sentinel boxes
+        # (lo = hi = 3e38 misses every slab test for every ray sign).
+        c_pad = ((n_clusters + _SUPER - 1) // _SUPER) * _SUPER
+        sent = jnp.full((c_pad - n_clusters, 8), 3.0e38, jnp.float32
+                        ).at[:, 6:].set(0.0)
+        aabb_pad = jnp.concatenate([aabb, sent]) if c_pad > n_clusters \
+            else aabb
+        lo = aabb_pad[:, 0:3].reshape(-1, _SUPER, 3)
+        hi = jnp.where(jnp.arange(c_pad)[:, None] < n_clusters,
+                       aabb_pad[:, 3:6], -3.0e38).reshape(-1, _SUPER, 3)
+        super_aabb = jnp.concatenate(
+            [lo.min(axis=1), hi.max(axis=1),
+             jnp.zeros((c_pad // _SUPER, 2), jnp.float32)], axis=1)
+        visits, counts = _visit_prepass(o, d, alive, t_init, super_aabb,
+                                        block_r, pad_r)
         kernel = functools.partial(_kernel_hbm, block_l=block_l,
-                                   n_clusters=n_clusters,
+                                   n_clusters=c_pad,
                                    with_attrs=with_attrs)
-        table_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        extra_in = [aabb_pad]
+        extra_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),         # table in HBM
+            pl.BlockSpec((c_pad, 8), lambda i: (0, 0),    # child boxes
+                         memory_space=pltpu.VMEM),
+        ]
         scratch += [
-            pltpu.SMEM((1, n_clusters), jnp.int32),       # visit list
+            pltpu.SMEM((1, c_pad), jnp.int32),            # visit list
             pltpu.VMEM((2, block_l, table_t.shape[1]),
                        jnp.float32),                      # double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
+        visits, counts = _visit_prepass(o, d, alive, t_init, aabb,
+                                        block_r, pad_r)
         kernel = functools.partial(_kernel, block_l=block_l,
                                    n_clusters=n_clusters,
                                    with_attrs=with_attrs)
+        extra_in = []
         # whole triangle table resident in VMEM for every block
-        table_spec = pl.BlockSpec((table_t.shape[0], table_t.shape[1]),
-                                  lambda i: (0, 0),
-                                  memory_space=pltpu.VMEM)
+        extra_specs = [pl.BlockSpec((table_t.shape[0], table_t.shape[1]),
+                                    lambda i: (0, 0),
+                                    memory_space=pltpu.VMEM)]
 
     out = pl.pallas_call(
         kernel,
@@ -380,14 +459,13 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, block_r), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            table_spec,
-        ],
+        ] + extra_specs,
         out_specs=pl.BlockSpec((n_out, block_r), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_out, rp), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(visits, counts, rays, table_t)
+    )(visits, counts, rays, table_t, *extra_in)
 
     t_best = out[0, :n_rays]
     idx = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)
