@@ -263,6 +263,57 @@ class SceneEditor:
                                    for p, dv in zip(shape.position, d))
         return {}
 
+    def _op_rotate_shape(self, cmd):
+        """Gizmo rotate mode: rotate a shape in place about a world-space
+        axis.  Planes rotate their normal (the quat glue,
+        interface.cpp:46-63); models premultiply the rotation onto the
+        3x3 part with the translation fixed (the TRS recompose,
+        interface.cpp:69-104); spheres are rotation-invariant, so the op
+        is accepted but changes nothing (the reference gizmo shows only
+        translate/scale handles for spheres, interface.cpp:13-34)."""
+        shape, kind = self._shape(cmd)
+        axis = np.asarray(_vec3(cmd.get("axis", (0, 1, 0)), "axis"),
+                          np.float64)
+        ln = np.linalg.norm(axis)
+        if ln == 0:
+            raise EditError("rotation axis must be nonzero")
+        axis /= ln
+        angle = float(cmd.get("angle", 0.0))
+        k = np.array([[0, -axis[2], axis[1]],
+                      [axis[2], 0, -axis[0]],
+                      [-axis[1], axis[0], 0]])
+        rot = (np.eye(3) + math.sin(angle) * k
+               + (1 - math.cos(angle)) * (k @ k))
+        if kind == "sphere":
+            return {"_changed": False}
+        if kind == "plane":
+            n = rot @ np.asarray(shape.normal, np.float64)
+            shape.normal = tuple(float(v) for v in n / np.linalg.norm(n))
+        else:
+            m = np.array(shape.transform, np.float64)
+            m[:3, :3] = rot @ m[:3, :3]
+            self.scene.set_model_transform(shape, m.astype(np.float32))
+        return {}
+
+    def _op_scale_shape(self, cmd):
+        """Gizmo scale mode: uniform scale about the shape's own origin.
+        Spheres scale their radius (the radius-from-scale-diff glue,
+        interface.cpp:13-34); models scale the 3x3 part; planes are
+        infinite and cannot be scaled."""
+        shape, kind = self._shape(cmd)
+        factor = float(cmd.get("factor", 1.0))
+        if not (factor > 0.0) or not math.isfinite(factor):
+            raise EditError("scale factor must be positive and finite")
+        if kind == "plane":
+            raise EditError("planes are infinite and cannot be scaled")
+        if kind == "sphere":
+            shape.radius = float(shape.radius) * factor
+        else:
+            m = np.array(shape.transform, np.float64)
+            m[:3, :3] *= factor
+            self.scene.set_model_transform(shape, m.astype(np.float32))
+        return {}
+
     # material editor (interface.cpp:387-480)
     def _op_add_material(self, cmd):
         fields = cmd.get("fields", {})

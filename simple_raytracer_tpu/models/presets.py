@@ -18,7 +18,7 @@ from ..io.obj import load_obj_model
 from ..io.stl import load_stl_model
 from .camera import Camera
 from .materials import Material
-from .meshgen import icosphere
+from .meshgen import organic_blob
 from .scene import Scene
 from .shapes import transform_trs
 
@@ -104,7 +104,9 @@ def _add_mesh(scene: Scene, path: Optional[str], subdivisions: int = 3):
         if span is None:
             raise FileNotFoundError(p)
         return span
-    pos, nrm = icosphere(subdivisions=subdivisions)
+    # Suzanne-fidelity stand-in: non-convex organic sculpt, 1280 tris at
+    # subdiv 3 (Blender's Suzanne is ~1.4K triangulated) — see meshgen
+    pos, nrm = organic_blob(subdivisions=subdivisions)
     return scene.pool.append(pos, nrm)
 
 

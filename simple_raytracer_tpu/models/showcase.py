@@ -10,7 +10,7 @@ lighting setup, and the reference's own skybox
 (assets/skybox.png, always loaded by tracer.cpp:42-52).
 
 The model scene uses Suzanne in the reference; no mesh asset ships with
-either repo, so a procedural icosphere stands in unless a mesh path is
+either repo, so a procedural organic sculpt stands in unless a mesh path is
 given (the same policy as presets.config4/5).
 
 Each builder returns (scene, camera, options) at the reference's
@@ -26,7 +26,7 @@ import numpy as np
 from ..engine import RenderOptions
 from .camera import Camera
 from .materials import Material
-from .meshgen import icosphere
+from .meshgen import organic_blob
 from .scene import Scene
 from .shapes import transform_trs
 
@@ -127,8 +127,8 @@ def showcase_model(mesh_path: Optional[str] = None,
                    subdivisions: int = 3) -> tuple:
     """readme/model.png: a clear specular mesh looking at a green
     refractive mesh on a blue-grey floor under the cloud skybox.  Suzanne
-    in the reference; a procedural icosphere stands in unless mesh_path
-    points at an STL/OBJ."""
+    in the reference; the procedural organic sculpt (meshgen.organic_blob)
+    stands in unless mesh_path points at an STL/OBJ."""
     sc = Scene()
     sc.skybox = load_reference_skybox()
     floor = sc.add_material(Material(color=(0.5, 0.62, 0.8)), "Floor")
@@ -148,7 +148,7 @@ def showcase_model(mesh_path: Optional[str] = None,
         if span is None:
             raise FileNotFoundError(mesh_path)
     else:
-        pos, nrm = icosphere(subdivisions=subdivisions)
+        pos, nrm = organic_blob(subdivisions=subdivisions)
         span = sc.pool.append(pos, nrm)
 
     sc.add_plane((0, -1.1, 0), (0, 1, 0), material=floor)

@@ -68,8 +68,10 @@ _PAGE = """<!doctype html>
 </style></head><body>
 <div id=main>
  <div id=hud>click image: select shape &middot; dblclick: capture mouse
-  (WASD/Space/C fly &middot; wheel zoom) &middot; drag selected: move
-  &middot; arrows/PgUp/PgDn nudge &middot; P screenshot &middot;
+  (WASD/Space/C fly &middot; wheel zoom) &middot; drag selected:
+  <span id=modehud>move</span> (G move / R rotate / E scale)
+  &middot; arrows/PgUp/PgDn nudge &middot; drag a material onto a shape to
+  assign &middot; P screenshot &middot;
   <span id=stats></span></div>
  <img id=view width=%(w)s height=%(h)s>
  <div id=error></div>
@@ -103,6 +105,13 @@ const keys = {}; let dx = 0, dy = 0, wheel = 0;
 let S = null;                 // /scene state
 let sel = null;               // {kind, index}
 let dragging = false, lastDrag = null;
+let dragMode = 'translate';   // gizmo mode: translate | rotate | scale
+function setMode(m) {
+  dragMode = m;
+  document.getElementById('modehud').textContent =
+    {translate:'move', rotate:'rotate', scale:'scale'}[m];
+  renderSelected();
+}
 const img = document.getElementById('view');
 const W = %(w)s, H = %(h)s;
 
@@ -159,6 +168,14 @@ function renderShapes() {
                               sel.index===s.index) sel = null;
                           edit({op:'remove_shape', kind:s.kind,
                                 index:s.index}); };
+    // drop target for material drag-assign (interface.cpp:231-247)
+    row.ondragover = ev => ev.preventDefault();
+    row.ondrop = ev => {
+      ev.preventDefault();
+      const mi = parseInt(ev.dataTransfer.getData('text/plain'));
+      if (!isNaN(mi)) edit({op:'set_shape_material', kind:s.kind,
+                            index:s.index, material:mi});
+    };
     row.append(name, mat, dup, del);
     div.appendChild(row);
   }
@@ -201,6 +218,16 @@ function renderSelected() {
   if (!s) { div.textContent = 'nothing selected'; return; }
   div.appendChild(Object.assign(document.createElement('div'),
                                 {textContent: shapeName(s)}));
+  const modes = document.createElement('div'); modes.className = 'row';
+  for (const [m, lbl] of [['translate','move'], ['rotate','rotate'],
+                          ['scale','scale']]) {
+    const b = document.createElement('button');
+    b.textContent = lbl;
+    if (m === dragMode) b.style.background = '#3a5570';
+    b.onclick = () => setMode(m);
+    modes.appendChild(b);
+  }
+  div.appendChild(modes);
   const set = f => edit(Object.assign({op:'set_shape', kind:s.kind,
                                        index:s.index}, f));
   if (s.kind === 'sphere') {
@@ -240,6 +267,10 @@ function renderMaterials() {
   div.innerHTML = '';
   for (const m of S.materials) {
     const box = document.createElement('div'); box.className = 'matbox';
+    // drag source: drop onto a shape row to assign (interface.cpp:425-433)
+    box.draggable = true;
+    box.ondragstart = ev =>
+      ev.dataTransfer.setData('text/plain', String(m.index));
     const head = document.createElement('div'); head.className = 'row';
     const name = document.createElement('input');
     name.type = 'text'; name.value = m.name;
@@ -347,7 +378,7 @@ document.onmousemove = e => {
   } else if (dragging && sel) {
     const [lx, ly] = lastDrag; lastDrag = [e.clientX, e.clientY];
     fetch('/edit', {method:'POST', body:JSON.stringify(
-      {op:'drag_shape', kind:sel.kind, index:sel.index,
+      {op:'drag_shape', kind:sel.kind, index:sel.index, mode:dragMode,
        dx:(e.clientX - lx) / img.getBoundingClientRect().width,
        dy:(e.clientY - ly) / img.getBoundingClientRect().height})});
   }
@@ -355,6 +386,10 @@ document.onmousemove = e => {
 
 document.onkeydown = e => {
   if (e.target.tagName === 'INPUT') return;
+  const k = e.key.toLowerCase();
+  if (k === 'g') setMode('translate');
+  else if (k === 'r') setMode('rotate');
+  else if (k === 'e') setMode('scale');
   keys[e.key.toLowerCase()] = true;
   if (sel && ['arrowleft','arrowright','arrowup','arrowdown','pageup',
               'pagedown'].includes(e.key.toLowerCase())) {
@@ -485,31 +520,59 @@ class RenderLoop:
         return {"ok": True, "changed": opts != o}
 
     def _drag_shape(self, cmd: dict) -> dict:
-        """Mouse-drag translate in the camera plane (the dominant
-        tiny-gizmo interaction): screen-relative (dx, dy) move the shape
-        along the camera's right/up axes, scaled by its distance so the
-        shape tracks the cursor."""
+        """Mouse-drag manipulation of the selected shape — the gizmo
+        analog, in the reference's three modes (interface.cpp:539-561):
+
+        translate (default): screen-relative (dx, dy) move the shape along
+        the camera's right/up axes, scaled by its distance so the shape
+        tracks the cursor.
+        rotate: horizontal drag spins about world up, vertical about the
+        camera's right axis (small increments compose as rotation-vector
+        addition).
+        scale: vertical drag scales uniformly (up = bigger).
+        """
         if self.editor is None:
             raise EditError("no editable scene")
         kind, index = cmd.get("kind"), cmd.get("index")
-        desc = [s for s in self.editor.describe()["shapes"]
-                if s["kind"] == kind and s["index"] == index]
-        if not desc:
-            raise EditError(f"no {kind} with index {index!r}")
-        pos = desc[0].get("position") or desc[0].get("translation")
+        mode = cmd.get("mode", "translate")
+        dx = float(cmd.get("dx", 0))
+        dy = float(cmd.get("dy", 0))
         cam = self.camera
         cy, sy = cos(cam.yaw), sin(cam.yaw)
         cp, sp = cos(cam.pitch), sin(cam.pitch)
         right = (cy, 0.0, -sy)                 # camera-space +x in world
         up = (sy * sp, cp, cy * sp)            # camera-space +y in world
         fwd = (-sy * cp, sp, -cy * cp)         # camera-space -z in world
+
+        if mode == "rotate":
+            ax = dx * 6.28                     # full drag ~ full turn
+            ay = dy * 3.14
+            axis = tuple(ax * u + ay * r for u, r in zip((0.0, 1.0, 0.0),
+                                                         right))
+            angle = (ax * ax + ay * ay) ** 0.5
+            if angle == 0.0:
+                return {"ok": True, "changed": False}
+            return self.editor.apply({"op": "rotate_shape", "kind": kind,
+                                      "index": index, "axis": axis,
+                                      "angle": angle})
+        if mode == "scale":
+            return self.editor.apply({"op": "scale_shape", "kind": kind,
+                                      "index": index,
+                                      "factor": 2.0 ** (-dy * 4.0)})
+        if mode != "translate":
+            raise EditError(f"unknown drag mode {mode!r}")
+
+        desc = [s for s in self.editor.describe()["shapes"]
+                if s["kind"] == kind and s["index"] == index]
+        if not desc:
+            raise EditError(f"no {kind} with index {index!r}")
+        pos = desc[0].get("position") or desc[0].get("translation")
         rel = tuple(p - c for p, c in zip(pos, cam.position))
         depth = max(sum(r * f for r, f in zip(rel, fwd)), 0.5)
         fov_scale = tan(cam.fov / 2.0)   # fov is radians on the model
         o = self.renderer.options
-        kx = 2.0 * float(cmd.get("dx", 0)) * depth * fov_scale \
-            * (o.width / o.height)
-        ky = -2.0 * float(cmd.get("dy", 0)) * depth * fov_scale
+        kx = 2.0 * dx * depth * fov_scale * (o.width / o.height)
+        ky = -2.0 * dy * depth * fov_scale
         delta = tuple(kx * r + ky * u for r, u in zip(right, up))
         return self.editor.apply({"op": "translate_shape", "kind": kind,
                                   "index": index, "delta": delta})

@@ -175,3 +175,30 @@ def test_acne_offset_sign_follows_direction():
     dy = np.asarray(ms.direction.y)
     # origin shifted 0.001 along the normal, sign following the new dir
     np.testing.assert_allclose(oy, np.sign(dy) * 0.001, atol=1e-7)
+
+
+def test_organic_blob_mesh_properties():
+    """The Suzanne stand-in must be watertight-derived (shared topology),
+    non-convex, deterministic, with unit smooth normals."""
+    from simple_raytracer_tpu.models.meshgen import organic_blob
+
+    p1, n1 = organic_blob(subdivisions=2)
+    p2, n2 = organic_blob(subdivisions=2)
+    np.testing.assert_array_equal(p1, p2)   # deterministic
+    np.testing.assert_array_equal(n1, n2)
+    assert p1.shape == (320, 3, 3)
+    lens = np.linalg.norm(n1.reshape(-1, 3), axis=1)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-5)
+    # non-convex: radius from centroid varies a lot and some vertices lie
+    # well inside the max-radius sphere of their neighbors
+    v = p1.reshape(-1, 3)
+    r = np.linalg.norm(v - v.mean(axis=0), axis=1)
+    assert r.max() / r.min() > 1.5
+    # smooth shading: adjacent faces sharing a vertex position share the
+    # vertex normal (soup built from shared topology)
+    key = np.round(v, 5)
+    _, inv = np.unique(key, axis=0, return_inverse=True)
+    nn = n1.reshape(-1, 3)
+    for vid in np.unique(inv)[:20]:
+        rows = nn[inv == vid]
+        assert np.abs(rows - rows[0]).max() < 1e-6

@@ -81,3 +81,65 @@ def test_shape_reorder_is_list_order():
     assert sc.spheres == [s2, s1]
     ds = sc.build()
     assert float(ds.spheres.center.x[0]) == 1.0
+
+
+def test_rotate_and_scale_shape_ops():
+    """rotate_shape / scale_shape editor verbs (gizmo rotate/scale modes,
+    interface.cpp:13-104)."""
+    import math
+
+    import numpy as np
+
+    from simple_raytracer_tpu.editor import EditError, SceneEditor
+    from simple_raytracer_tpu.models.meshgen import torus
+    from simple_raytracer_tpu.models.shapes import transform_trs
+
+    sc = Scene()
+    sc.add_sphere((1, 2, 3), 1.5)
+    sc.add_plane((0, -1, 0), (0, 1, 0))
+    pos, nrm = torus()
+    span = sc.pool.append(pos, nrm)
+    sc.add_model(span, transform=transform_trs((0, 0, -4)))
+    changes = []
+    ed = SceneEditor(sc, on_change=lambda: changes.append(1))
+
+    # model rotation: 90 deg about world Y maps +x column onto -z
+    m0 = np.array(sc.models[0].transform)
+    ed.apply({"op": "rotate_shape", "kind": "model", "index": 0,
+              "axis": [0, 1, 0], "angle": math.pi / 2})
+    m1 = np.array(sc.models[0].transform)
+    np.testing.assert_allclose(m1[:3, 3], m0[:3, 3], atol=1e-6)  # in place
+    np.testing.assert_allclose(m1[:3, 0], [0, 0, -1], atol=1e-6)
+
+    # plane normal rotation: 90 deg about world X: +y -> +z
+    ed.apply({"op": "rotate_shape", "kind": "plane", "index": 0,
+              "axis": [1, 0, 0], "angle": math.pi / 2})
+    np.testing.assert_allclose(sc.planes[0].normal, [0, 0, 1], atol=1e-6)
+
+    # sphere rotation: accepted no-op, does NOT reset accumulation
+    n_changes = len(changes)
+    r = ed.apply({"op": "rotate_shape", "kind": "sphere", "index": 0})
+    assert r["ok"] and not r["changed"] and len(changes) == n_changes
+
+    # scaling
+    ed.apply({"op": "scale_shape", "kind": "sphere", "index": 0,
+              "factor": 2.0})
+    assert sc.spheres[0].radius == 3.0
+    ed.apply({"op": "scale_shape", "kind": "model", "index": 0,
+              "factor": 0.5})
+    m2 = np.array(sc.models[0].transform)
+    np.testing.assert_allclose(np.linalg.norm(m2[:3, :3], axis=0), 0.5,
+                               atol=1e-6)
+    np.testing.assert_allclose(m2[:3, 3], m1[:3, 3], atol=1e-6)
+
+    import pytest
+
+    with pytest.raises(EditError):
+        ed.apply({"op": "scale_shape", "kind": "plane", "index": 0,
+                  "factor": 2.0})
+    with pytest.raises(EditError):
+        ed.apply({"op": "scale_shape", "kind": "sphere", "index": 0,
+                  "factor": 0.0})
+    with pytest.raises(EditError):
+        ed.apply({"op": "rotate_shape", "kind": "model", "index": 0,
+                  "axis": [0, 0, 0], "angle": 1.0})

@@ -253,3 +253,35 @@ def test_screenshot_edge_triggered(server, tmp_path):
     while loop.screenshot_count < 2 and time.time() < deadline:
         time.sleep(0.1)
     assert loop.screenshot_count == 2
+
+
+def test_drag_rotate_and_scale_modes(server):
+    """Gizmo rotate/scale drag modes (interface.cpp:539-561 mode switch;
+    sphere scale = radius glue interface.cpp:13-34)."""
+    srv, loop = server
+    # scale mode on a sphere: dy < 0 (drag up) grows the radius
+    r0 = loop.scene.spheres[0].radius
+    r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
+                    "mode": "scale", "dx": 0.0, "dy": -0.1})
+    assert r["ok"] and loop.scene.spheres[0].radius > r0
+    # rotate mode on a sphere: accepted but a no-op (rotation-invariant)
+    resets0 = loop.reset_count + (1 if loop._dirty else 0)
+    r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
+                    "mode": "rotate", "dx": 0.2, "dy": 0.0})
+    assert r["ok"] and not r["changed"]
+    # rotate mode on a plane: the normal turns
+    n0 = np.asarray(loop.scene.planes[0].normal)
+    r = _edit(srv, {"op": "drag_shape", "kind": "plane", "index": 0,
+                    "mode": "rotate", "dx": 0.1, "dy": 0.05})
+    n1 = np.asarray(loop.scene.planes[0].normal)
+    assert r["ok"] and r["changed"]
+    assert np.linalg.norm(n1 - n0) > 1e-3
+    assert abs(np.linalg.norm(n1) - 1.0) < 1e-6
+    # scale mode on a plane: loud error
+    r = _edit(srv, {"op": "drag_shape", "kind": "plane", "index": 0,
+                    "mode": "scale", "dx": 0.0, "dy": -0.1})
+    assert not r["ok"] and "scaled" in r["error"]
+    # unknown mode: loud error
+    r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
+                    "mode": "bogus"})
+    assert not r["ok"]
