@@ -44,7 +44,11 @@ def main():
     cam = camera.state(W / H)
     rot = camera_rotation(cam.yaw, cam.pitch)
 
-    for k in (64, 128, 256):
+    ks = ([int(v) for v in sys.argv[2].split(",")] if len(sys.argv) > 2
+          else [64, 128, 256])
+    brs = ([int(v) for v in sys.argv[3].split(",")] if len(sys.argv) > 3
+           else [512, 1024, 1536, 2048])
+    for k in ks:
         scene = build(subdiv, k)
         ds = scene.build()
         cl = ds.triangles.clusters
@@ -55,7 +59,7 @@ def main():
         n = o.x.shape[0]
         alive = jnp.ones((n,), jnp.float32)
         t_init, _ = intersect_planes(o, d, ds.planes)
-        for block_r in (512, 1024, 1536, 2048):
+        for block_r in brs:
             for placement in ("hbm", "vmem"):
                 if placement == "vmem" and slots > 8192:
                     continue
@@ -68,7 +72,7 @@ def main():
                     r = jax.block_until_ready(f(o, d, alive, t_init))
                 except Exception as e:
                     print(f"K={k} block_r={block_r} {placement}: "
-                          f"FAIL {type(e).__name__}")
+                          f"FAIL {type(e).__name__}: {str(e)[:1500]}")
                     continue
                 t0 = time.perf_counter()
                 iters = 10
