@@ -49,6 +49,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--all-devices", action="store_true",
                    help="shard the render over every local device "
                         "(horizontal pixel bands; bit-identical output)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host render: initialize jax.distributed "
+                        "before device use (combine with --all-devices; "
+                        "the mesh then spans every process's chips and "
+                        "only process 0 writes files)")
+    p.add_argument("--coordinator", default=None,
+                   help="--distributed: coordinator host:port (default: "
+                        "JAX_COORDINATOR_ADDRESS or pod autodetection)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="--distributed: total process count")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="--distributed: this process's rank")
     p.add_argument("--wall-clock-seed", action="store_true",
                    help="seed from the ms clock like the reference app")
     p.add_argument("--save-state", default=None,
@@ -64,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.distributed:
+        # must run before the first device access in this process
+        from .parallel import distributed
+        distributed.initialize(args.coordinator, args.num_processes,
+                               args.process_id)
 
     import numpy as np
 
@@ -128,12 +146,18 @@ def main(argv=None) -> int:
         img = r.image()
     dt = _time.perf_counter() - t0
 
-    if args.out.lower().endswith((".ppm", ".pnm")):
-        save_ppm(args.out, img)
-    else:
-        save_png(args.out, img)
+    write_files = True
+    if args.distributed:
+        from .parallel.distributed import should_write_output
+        write_files = should_write_output()
 
-    if args.save_state:
+    if write_files:
+        if args.out.lower().endswith((".ppm", ".pnm")):
+            save_ppm(args.out, img)
+        else:
+            save_png(args.out, img)
+
+    if args.save_state and write_files:
         st = r.state_dict()
         np.savez_compressed(args.save_state, canvas=st["canvas"],
                             num_steps=st["num_steps"])
@@ -145,8 +169,9 @@ def main(argv=None) -> int:
         m["total_seconds"] = dt
         m["steps"] = args.steps
         print(json.dumps(m))
-    print(f"wrote {args.out} ({r.num_steps} accumulated steps)",
-          file=sys.stderr)
+    if write_files:
+        print(f"wrote {args.out} ({r.num_steps} accumulated steps)",
+              file=sys.stderr)
     return 0
 
 

@@ -158,17 +158,23 @@ class Renderer:
 
     def image(self) -> np.ndarray:
         """Tonemapped (H, W, 3) u8 RGB of the current accumulation state
-        (``__kernel average``, render.cl:525-535)."""
+        (``__kernel average``, render.cl:525-535).  In a multi-process
+        (multi-host) render the bands owned by other processes arrive
+        over DCN; every process returns the full image."""
         steps = max(self.num_steps, 1)
-        return np.asarray(tonemap_u8(self._canvas, steps))
+        from .parallel.distributed import fetch_canvas
+
+        return fetch_canvas(tonemap_u8(self._canvas, steps))
 
     # -- checkpoint / resume ---------------------------------------------
     def state_dict(self) -> dict:
         """Serializable render state: canvas + step count.  Together with a
         scene file this is a full checkpoint (a capability the reference
         lists as future work, README.md:43)."""
+        from .parallel.distributed import fetch_canvas
+
         return {
-            "canvas": np.asarray(self._canvas),
+            "canvas": fetch_canvas(self._canvas),
             "num_steps": self.num_steps,
         }
 

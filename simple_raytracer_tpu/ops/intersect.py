@@ -25,11 +25,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .vec import Vec3, dot, cross, normalize, where as vwhere
 from .scene_types import DeviceScene, SpheresSoA, PlanesSoA, TrianglesSoA
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)
 
 
 class Hit(NamedTuple):

@@ -15,16 +15,17 @@ Reference formulas (render.cl:143-163):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .vec import Vec3, dot, normalize
 
-_MUL = jnp.uint32(747796405)
-_INC = jnp.uint32(2891336453)
-_OUT = jnp.uint32(277803737)
+_MUL = np.uint32(747796405)
+_INC = np.uint32(2891336453)
+_OUT = np.uint32(277803737)
 # (float)UINT_MAX rounds to 2^32 in fp32, and division by 2^32 is an exact
 # scale, so this reproduces the reference's float conversion bit-for-bit.
-_INV = jnp.float32(2.0 ** -32)
-TWO_PI_F = jnp.float32(6.2831854820251465)  # 2 * M_PI_F evaluated in fp32
+_INV = np.float32(2.0 ** -32)
+TWO_PI_F = np.float32(6.2831854820251465)  # 2 * M_PI_F evaluated in fp32
 
 
 def next_uniform(seed: jnp.ndarray):

@@ -16,11 +16,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .vec import Vec3, dot, mix
 from .scene_types import SkyParams
 
-_INV_PI = jnp.float32(1.0 / 3.14159274101257324)
+_INV_PI = np.float32(1.0 / 3.14159274101257324)
 
 
 # Skyboxes up to this many texels use the MXU two-hot-matmul sampler;

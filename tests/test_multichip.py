@@ -169,3 +169,44 @@ def test_sharded_mesh_scene_matches_single_chip(devices):
     canvas = make_sharded_canvas(mesh, 32, 64)
     out = step(ds, camera.state(2.0), canvas, jnp.uint32(21))
     np.testing.assert_allclose(np.asarray(out), single, rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_helpers_single_process():
+    """Multi-host helpers degrade to no-ops in a single process."""
+    import numpy as np
+
+    from simple_raytracer_tpu.parallel import distributed
+
+    assert not distributed.is_multiprocess()
+    assert distributed.should_write_output()
+    c = jnp.ones((4, 8, 3), jnp.float32)
+    np.testing.assert_array_equal(distributed.fetch_canvas(c),
+                                  np.ones((4, 8, 3), np.float32))
+
+
+def test_distributed_initialize_subprocess():
+    """jax.distributed comes up for a 1-process 'cluster' (the DCN path's
+    smallest instance; real multi-host needs multiple machines)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import sysconfig
+    # -S skips site/startup plugins (one here initializes the XLA backend
+    # at interpreter start, which would forbid jax.distributed.initialize)
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=sysconfig.get_paths()["purelib"] + os.pathsep + repo)
+    code = (
+        "from simple_raytracer_tpu.parallel import distributed\n"
+        "import jax\n"
+        "distributed.initialize(coordinator_address='localhost:19181',\n"
+        "                       num_processes=1, process_id=0)\n"
+        "distributed.initialize()   # idempotent\n"
+        "print('count', jax.process_count(), distributed.is_multiprocess())\n"
+    )
+    out = subprocess.run([sys.executable, "-S", "-c", code], env=env,
+                         capture_output=True, text=True, timeout=240,
+                         cwd=repo)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "count 1 False" in out.stdout
