@@ -194,16 +194,65 @@ class Renderer:
     def benchmark_step(self, camera: Camera, iters: int = 10,
                        warmup: int = 2) -> dict:
         """Steady-state per-pass timing + derived throughput
-        (the frame-time window analog, interface.cpp:486-510)."""
+        (the frame-time window analog, interface.cpp:486-510).
+
+        Methodology: chain N progressive passes INSIDE one jitted
+        device-side fori_loop (per-dispatch latency is paid once), force
+        execution with a scalar readback (async dispatch makes plain
+        block_until_ready timings unreliable on remote-attached devices),
+        and difference two chain lengths so the constant dispatch +
+        readback overhead cancels exactly.  Sharded renderers fall back
+        to host-side stepping (a shard_map step doesn't nest in a
+        fori_loop without resharding its carry)."""
         o = self.options
+        if self._mesh is not None:
+            return self._benchmark_host_loop(camera, iters, warmup)
+        ray_tile = o.ray_tile
+        if ray_tile == "auto":
+            ray_tile = ((8, 64) if o.height % 8 == 0
+                        and o.width % 64 == 0 else None)
+        from .ops.trace import make_render_step
+        fn = make_render_step(o.width, o.height, o.num_samples,
+                              o.num_bounces, show_normals=o.show_normals,
+                              tri_chunk=o.tri_chunk,
+                              tri_backend=o.tri_backend, ray_tile=ray_tile,
+                              jit=False)
+        scene, cam = self._device_scene, camera.state(o.width / o.height)
+        n_lo, n_hi = max(2, warmup), max(2, warmup) + iters
+
+        def make_chain(n):
+            @jax.jit
+            def chain(scene, cam, canvas, t0):
+                def body(i, c):
+                    return fn(scene, cam, c, t0 + i.astype(jnp.uint32))
+                out = jax.lax.fori_loop(0, n, body, canvas)
+                return out[::97, ::97, :].sum()
+            return chain
+
+        times = {}
+        for n in (n_lo, n_hi, n_lo, n_hi):
+            chain = make_chain(n)
+            canvas = jnp.zeros((o.height, o.width, 3), jnp.float32)
+            float(np.asarray(chain(scene, cam, canvas, jnp.uint32(1))))
+            t0 = _time.perf_counter()
+            float(np.asarray(chain(scene, cam, canvas, jnp.uint32(1000))))
+            times.setdefault(n, []).append(_time.perf_counter() - t0)
+        dt = (min(times[n_hi]) - min(times[n_lo])) / (n_hi - n_lo)
+        return self._throughput(dt)
+
+    def _benchmark_host_loop(self, camera: Camera, iters: int,
+                             warmup: int) -> dict:
         for _ in range(warmup):
             self.step(camera)
-        jax.block_until_ready(self._canvas)
+        np.asarray(jnp.sum(self._canvas[::97, ::97, :]))
         t0 = _time.perf_counter()
         for _ in range(iters):
             self.step(camera)
-        jax.block_until_ready(self._canvas)
-        dt = (_time.perf_counter() - t0) / iters
+        np.asarray(jnp.sum(self._canvas[::97, ::97, :]))
+        return self._throughput((_time.perf_counter() - t0) / iters)
+
+    def _throughput(self, dt: float) -> dict:
+        o = self.options
         rays = o.width * o.height * o.num_samples * o.num_bounces
         return {
             "seconds_per_step": dt,

@@ -43,10 +43,76 @@ class CameraState(NamedTuple):
     fov_scale: jnp.ndarray
 
 
+def _fused_ok(scene: DeviceScene, tri_backend: str,
+              show_normals: bool) -> bool:
+    """The fused Pallas bounce kernel serves a scene when it is either
+    triangle-free or BVH-clustered (the dense small-mesh path has no
+    (20, R) triangle rows to feed it).  Auto-selected on TPU; "fused"
+    forces it (tests run it in interpret mode elsewhere)."""
+    if show_normals:
+        return False
+    if tri_backend == "fused":
+        return True
+    if tri_backend != "auto" or jax.default_backend() != "tpu":
+        return False
+    has_tris = scene.triangles.material.shape[0] > 0
+    return (not has_tris) or scene.triangles.clusters is not None
+
+
+def trace_rays_fused(scene: DeviceScene, o: Vec3, d: Vec3,
+                     seed: jnp.ndarray, num_bounces: int,
+                     block_r: int = 1536, interpret: bool = False) -> Vec3:
+    """trace_rays with the whole bounce body fused into one Pallas kernel
+    per bounce (ops/pallas/bounce_kernel.py): the (20, R) ray state rides
+    VMEM once per bounce and blocks whose rays are all dead are skipped.
+    Segment semantics are identical to the scan path below."""
+    from .intersect import intersect_spheres, intersect_planes
+    from .pallas.bounce_kernel import (make_state, unpack_state,
+                                       prim_tables, bounce_step)
+
+    n = o.x.shape[0]
+    state = make_state(o, d, seed, block_r)
+    sph_tab, pln_tab, mat_tab = prim_tables(scene)
+    has_tris = scene.triangles.material.shape[0] > 0
+    cl = scene.triangles.clusters
+
+    def body(state, i):
+        is_last = (i == jnp.int32(num_bounces - 1)).astype(jnp.int32)
+        tri_rows = None
+        if has_tris:
+            ro = Vec3(state[0], state[1], state[2])
+            rd = Vec3(state[3], state[4], state[5])
+            # slim best-t from the dense primitives seeds the BVH slab far
+            # bound (argmin halves are dead-code-eliminated by XLA)
+            t_seed = jnp.full_like(state[0], jnp.inf)
+            if scene.spheres.radius.shape[0]:
+                t_s, _ = intersect_spheres(ro, rd, scene.spheres)
+                t_seed = jnp.minimum(t_seed, t_s)
+            if scene.planes.material.shape[0]:
+                t_p, _ = intersect_planes(ro, rd, scene.planes)
+                t_seed = jnp.minimum(t_seed, t_p)
+            from .pallas.bvh_kernel import intersect_triangles_bvh
+            t_t, _, attrs = intersect_triangles_bvh(
+                ro, rd, state[7], t_seed, cl.aabb, cl.table_t,
+                with_attrs=True, interpret=interpret)
+            tri_rows = jnp.concatenate([t_t[None], attrs], axis=0)
+        state = bounce_step(state, is_last, sph_tab, pln_tab, mat_tab,
+                            tri_rows=tri_rows, block_r=block_r,
+                            interpret=interpret)
+        return state, None
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(num_bounces))
+    color, sky_mask, sky_dir = unpack_state(state, n)
+    skyc = sky_color(sky_dir, scene.sky, scene.skybox)
+    return color + sky_mask * skyc
+
+
 def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
                num_bounces: int, show_normals: bool = False,
                tri_chunk: int = 256, tri_backend: str = "auto") -> Vec3:
     """Trace the (R,) ray batch to completion; returns per-ray radiance."""
+    if _fused_ok(scene, tri_backend, show_normals):
+        return trace_rays_fused(scene, o, d, seed, num_bounces)
     n = o.x.shape[0]
     zeros = jnp.zeros((n,), jnp.float32)
     ones = jnp.ones((n,), jnp.float32)
@@ -117,14 +183,35 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
     if tile_height is None:
         tile_height = height
     rot = camera_rotation(camera.yaw, camera.pitch)
-    o, d, seed = generate_rays(width, height, num_samples, time,
-                               camera.position, rot,
-                               camera.aspect_ratio, camera.fov_scale,
-                               row0=row0, tile_height=tile_height,
-                               tile=ray_tile)
-    color = trace_rays(scene, o, d, seed, num_bounces,
-                       show_normals=show_normals, tri_chunk=tri_chunk,
-                       tri_backend=tri_backend)
+    from .pallas.bounce_kernel import SMALL_TRIS_MAX
+    n_tris = scene.triangles.material.shape[0]
+    use_mega = (not show_normals
+                and (n_tris == 0 or (n_tris <= SMALL_TRIS_MAX
+                                     and scene.triangles.clusters is None))
+                and tri_backend in ("auto", "fused")
+                and (tri_backend == "fused"
+                     or jax.default_backend() == "tpu"))
+    if use_mega:
+        # triangle-free scenes: raygen + every bounce in ONE Pallas call —
+        # ray state never leaves VMEM (ops/pallas/bounce_kernel.py)
+        from .pallas.bounce_kernel import trace_full_fused
+        interp = jax.default_backend() != "tpu"
+        c, sky_mask, sky_dir = trace_full_fused(
+            scene, rot, camera.position, camera.aspect_ratio,
+            camera.fov_scale, time, width=width, height=height,
+            num_samples=num_samples, num_bounces=num_bounces, row0=row0,
+            tile_height=tile_height, ray_tile=ray_tile, interpret=interp)
+        skyc = sky_color(sky_dir, scene.sky, scene.skybox)
+        color = c + sky_mask * skyc
+    else:
+        o, d, seed = generate_rays(width, height, num_samples, time,
+                                   camera.position, rot,
+                                   camera.aspect_ratio, camera.fov_scale,
+                                   row0=row0, tile_height=tile_height,
+                                   tile=ray_tile)
+        color = trace_rays(scene, o, d, seed, num_bounces,
+                           show_normals=show_normals, tri_chunk=tri_chunk,
+                           tri_backend=tri_backend)
 
     inv_s = jnp.float32(1.0 / num_samples)
 

@@ -59,12 +59,16 @@ class Vec3(NamedTuple):
     # -- conversions ------------------------------------------------------
     @staticmethod
     def full(v, like=None):
-        """Broadcast a python/scalar triple or scalar to a Vec3."""
+        """Broadcast a python/scalar triple or scalar to a Vec3.
+
+        np scalars, not jnp: identical dtype semantics, no backend touch
+        at import, and no captured constants inside Pallas kernels."""
+        import numpy as np
         if isinstance(v, Vec3):
             return v
         if isinstance(v, (tuple, list)):
-            return Vec3(jnp.float32(v[0]), jnp.float32(v[1]), jnp.float32(v[2]))
-        return Vec3(jnp.float32(v), jnp.float32(v), jnp.float32(v))
+            return Vec3(np.float32(v[0]), np.float32(v[1]), np.float32(v[2]))
+        return Vec3(np.float32(v), np.float32(v), np.float32(v))
 
     @staticmethod
     def from_array(a):
