@@ -68,7 +68,10 @@ class Scene:
     # kernel keeps it VMEM-resident when it fits and streams it from HBM
     # with double-buffered DMA otherwise.
     cluster_threshold: int = 512
-    cluster_size: int = 128
+    # K=64 measured best for the FULL 4-bounce step (secondary incoherent
+    # rays dominate; finer boxes cull more visits): config5 1080p step
+    # 63.3 -> 59.2 ms vs K=128, K=32 and K=256 both worse
+    cluster_size: int = 64
 
     def __init__(self, default_material: bool = True):
         self.spheres: List[Sphere] = []

@@ -61,7 +61,8 @@ def _fused_ok(scene: DeviceScene, tri_backend: str,
 
 def trace_rays_fused(scene: DeviceScene, o: Vec3, d: Vec3,
                      seed: jnp.ndarray, num_bounces: int,
-                     block_r: int = 1536, interpret: bool = False) -> Vec3:
+                     block_r: int = 1536, bvh_block_r: int = 1536,
+                     interpret: bool = False) -> Vec3:
     """trace_rays with the whole bounce body fused into one Pallas kernel
     per bounce (ops/pallas/bounce_kernel.py): the (20, R) ray state rides
     VMEM once per bounce and blocks whose rays are all dead are skipped.
@@ -94,7 +95,7 @@ def trace_rays_fused(scene: DeviceScene, o: Vec3, d: Vec3,
             from .pallas.bvh_kernel import intersect_triangles_bvh
             t_t, _, attrs = intersect_triangles_bvh(
                 ro, rd, state[7], t_seed, cl.aabb, cl.table_t,
-                with_attrs=True, interpret=interpret)
+                block_r=bvh_block_r, with_attrs=True, interpret=interpret)
             tri_rows = jnp.concatenate([t_t[None], attrs], axis=0)
         state = bounce_step(state, is_last, sph_tab, pln_tab, mat_tab,
                             tri_rows=tri_rows, block_r=block_r,
