@@ -294,6 +294,36 @@ def build_clusters(positions: np.ndarray, k: int = 256,
     return Clusters(aabb=aabb, slots=slots, order=bvh.order, k=k)
 
 
+def refit_clusters(cl: Clusters, positions: np.ndarray) -> Clusters:
+    """Recompute cluster AABBs for MOVED geometry, reusing the topology.
+
+    The standard BVH refit trade-off: the permutation and slot assignment
+    built for the old positions stay valid for ANY new positions (every
+    triangle is still covered exactly once and each new box bounds its
+    triangles — culling stays conservative), only the spatial quality
+    degrades as objects move far from where the tree was built.  An
+    interactive transform drag refits per frame (O(T) numpy min/max) and
+    rebuilds on release; a full SAH rebuild is ~54 ms at 82K triangles
+    vs ~5 ms for this.
+
+    `positions` are the UNREORDERED (T, 3, 3) world vertices (the same
+    array build_clusters was/would be given)."""
+    t = positions.shape[0]
+    if t == 0 or cl.slots.shape[0] == 0:
+        return cl
+    rp = positions[cl.order]                      # (T, 3, 3) reordered
+    si = np.clip(cl.slots, 0, t - 1)              # (C, K)
+    v = rp[si]                                    # (C, K, 3, 3)
+    invalid = (cl.slots < 0)[:, :, None, None]
+    lo = np.where(invalid, np.inf, v).min(axis=(1, 2))
+    hi = np.where(invalid, -np.inf, v).max(axis=(1, 2))
+    aabb = np.zeros_like(cl.aabb)
+    aabb[:, 0:3] = lo
+    aabb[:, 3:6] = hi
+    return Clusters(aabb=aabb.astype(np.float32), slots=cl.slots,
+                    order=cl.order, k=cl.k)
+
+
 def validate_bvh(bvh: BVH, positions: np.ndarray) -> None:
     """Structural invariants: every triangle in exactly one leaf; every
     leaf box contains its triangles; skip links in-range and increasing."""

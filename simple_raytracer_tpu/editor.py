@@ -87,9 +87,18 @@ class SceneEditor:
     there, the time_not_moved=1 contract)."""
 
     def __init__(self, scene: Scene,
-                 on_change: Optional[Callable[[], None]] = None):
+                 on_change: Optional[Callable[..., None]] = None):
         self.scene = scene
-        self.on_change = on_change or (lambda: None)
+        # the hook receives the op name so the viewer can pick a cheap
+        # BVH refit for transform-only edits; hooks that ignore it (older
+        # callers, tests) still work
+        raw = on_change or (lambda *a: None)
+        try:
+            import inspect
+            takes_op = len(inspect.signature(raw).parameters) >= 1
+        except (TypeError, ValueError):
+            takes_op = False
+        self.on_change = raw if takes_op else (lambda op=None: raw())
 
     # -- inspection --------------------------------------------------------
     def describe(self) -> dict:
@@ -142,7 +151,7 @@ class SceneEditor:
             raise EditError(f"unknown op {op!r}")
         result = handler(cmd) or {}
         if result.pop("_changed", True):
-            self.on_change()
+            self.on_change(op)
             result.setdefault("changed", True)
         else:
             result.setdefault("changed", False)

@@ -104,10 +104,12 @@ class Renderer:
         return self._mesh.size if self._mesh is not None else 1
 
     # -- scene / state management ----------------------------------------
-    def update_scene(self, scene: Scene) -> None:
+    def update_scene(self, scene: Scene, refit: bool = False) -> None:
         """Re-sync the whole scene to the device (Tracer::update_scene,
-        tracer.cpp:70-96: full re-upload on any change)."""
-        self._device_scene = scene.build()
+        tracer.cpp:70-96: full re-upload on any change).  ``refit=True``
+        reuses the scene's cached BVH topology for transform-only edits
+        (O(T) refit instead of a SAH rebuild — Scene.build)."""
+        self._device_scene = scene.build(refit=refit)
 
     def set_device_scene(self, device_scene) -> None:
         self._device_scene = device_scene

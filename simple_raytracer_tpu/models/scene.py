@@ -82,6 +82,7 @@ class Scene:
         self.sky = SkySettings()
         self.skybox: Optional[np.ndarray] = None  # (H, W, 3) f32, bottom-up
         self._box_span: Optional[Tuple[int, int]] = None
+        self._cluster_topo = None   # (key, accel.Clusters) refit cache
         if default_material:
             # default scene has one white diffuse "Material0" (main.cpp:100)
             self.materials.push(Material(), "Material0")
@@ -179,11 +180,14 @@ class Scene:
         return self.add_model(span, material=material, transform=transform)
 
     # -- device compilation ----------------------------------------------
-    def build(self) -> DeviceScene:
+    def build(self, refit: bool = False) -> DeviceScene:
+        """Compile to the device pytree.  ``refit=True`` reuses the cached
+        BVH topology for moved geometry (an interactive gizmo drag refits
+        per frame and rebuilds on release — accel.refit_clusters)."""
         return DeviceScene(
             spheres=self._build_spheres(),
             planes=self._build_planes(),
-            triangles=self._build_triangles(),
+            triangles=self._build_triangles(refit=refit),
             materials=self._build_materials(),
             sky=self._build_sky(),
             skybox=self._build_skybox(),
@@ -220,7 +224,7 @@ class Scene:
         return PlanesSoA(position=_vec3_table(position), normal=_vec3_table(normal),
                          material=jnp.asarray(material), active=jnp.asarray(active))
 
-    def _build_triangles(self) -> TrianglesSoA:
+    def _build_triangles(self, refit: bool = False) -> TrianglesSoA:
         """Flatten every model instance to world space (SURVEY C11: same
         span-into-pool instancing semantics, transform applied host-side
         once instead of per ray)."""
@@ -247,7 +251,35 @@ class Scene:
         clusters_soa = None
         if n >= self.cluster_threshold:
             from .. import accel
-            cl = accel.build_clusters(pos, k=self.cluster_size)
+            # BVH topology cache: with refit=True a transform-only edit
+            # (gizmo drag) refits the cached tree in O(T) instead of a
+            # full SAH rebuild — same coverage guarantees, degraded
+            # spatial quality until the next full build()
+            key = (self.cluster_size, len(self.pool),
+                   tuple((m.triangle_index, m.num_triangles)
+                         for m in self.models))
+            cached = self._cluster_topo
+            if refit and cached is not None and cached[0] == key:
+                cl = accel.refit_clusters(cached[1], pos)
+            else:
+                cl = accel.build_clusters(pos, k=self.cluster_size)
+                self._cluster_topo = (key, cl)
+            # bucket-pad the cluster count with point-at-infinity
+            # sentinels (lo = hi = 3e38: empty slab interval for every
+            # ray) so a transform edit that changes the raw cluster
+            # count doesn't change the table shape — which is a jit
+            # cache key and would force a recompile mid-drag
+            c_raw, kk = cl.slots.shape
+            c_cap = _bucket(c_raw, minimum=8)
+            if c_cap > c_raw:
+                pad_aabb = np.zeros((c_cap - c_raw, 8), np.float32)
+                pad_aabb[:, 0:6] = 3.0e38
+                cl = accel.Clusters(
+                    aabb=np.concatenate([cl.aabb, pad_aabb]),
+                    slots=np.concatenate(
+                        [cl.slots,
+                         np.full((c_cap - c_raw, kk), -1, np.int32)]),
+                    order=cl.order, k=cl.k)
             perm = cl.order
             pos, nrm, mat = pos[perm], nrm[perm], mat[perm]
             e1 = pos[:, 1] - pos[:, 0]

@@ -451,6 +451,7 @@ class RenderLoop:
         self._png: bytes = b""
         self._screenshot_requested = False
         self._p_held = False   # edge-trigger: one press = one screenshot
+        self._refit_at = None  # monotonic time of the last refit sync
         self.error: Exception = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -463,11 +464,21 @@ class RenderLoop:
         self._thread.join(timeout=5)
 
     # -- editing (held lock required: see handle_edit) ---------------------
-    def _scene_changed(self):
+    _TRANSFORM_OPS = frozenset(
+        {"translate_shape", "rotate_shape", "scale_shape"})
+
+    def _scene_changed(self, op=None):
         """SceneEditor on_change hook: re-upload + reset accumulation
-        (the update_scene + clear_canvas pair, main.cpp:277-280)."""
-        self.renderer.update_scene(self.scene)
+        (the update_scene + clear_canvas pair, main.cpp:277-280).
+
+        Transform-only edits (gizmo drags) re-sync with a cheap BVH
+        refit so per-frame drags never pay the SAH rebuild; the render
+        loop schedules a full-quality rebuild shortly after the drag
+        settles (identical image — only culling quality differs)."""
+        refit = op in self._TRANSFORM_OPS
+        self.renderer.update_scene(self.scene, refit=refit)
         self._dirty = True
+        self._refit_at = time.monotonic() if refit else None
 
     def handle_edit(self, cmd: dict) -> dict:
         """Apply one editor/loop command under the loop lock."""
@@ -656,6 +667,12 @@ class RenderLoop:
         while not self._stop.is_set():
             with self._lock:
                 renderer = self.renderer
+                if (self._refit_at is not None
+                        and time.monotonic() - self._refit_at > 0.5):
+                    # drag settled: restore full BVH quality (same image,
+                    # better culling; no accumulation reset needed)
+                    self.renderer.update_scene(self.scene)
+                    self._refit_at = None
                 if self._dirty:
                     renderer.clear_canvas()
                     self._dirty = False

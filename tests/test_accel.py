@@ -98,3 +98,64 @@ def test_stl_native_truncated():
     if not accel.native_available() and not accel.build_native():
         pytest.skip("native lib unavailable")
     assert accel.parse_stl_native(b"short") is None
+
+
+def test_refit_clusters_bounds_moved_triangles():
+    """refit_clusters reuses topology but every new AABB must bound its
+    cluster's triangles at the NEW positions (conservative culling)."""
+    rng = np.random.RandomState(3)
+    pos = rng.rand(700, 3, 3).astype(np.float32) * 4.0
+    cl = accel.build_clusters(pos, k=32)
+    moved = (pos + rng.rand(700, 1, 3).astype(np.float32) * 10.0 - 5.0)
+    rf = accel.refit_clusters(cl, moved)
+    assert rf.slots is cl.slots and rf.order is cl.order
+    rp = moved[rf.order]
+    for c in range(rf.aabb.shape[0]):
+        idx = rf.slots[c][rf.slots[c] >= 0]
+        if idx.size == 0:
+            continue
+        v = rp[idx].reshape(-1, 3)
+        assert (v >= rf.aabb[c, 0:3] - 1e-5).all()
+        assert (v <= rf.aabb[c, 3:6] + 1e-5).all()
+
+
+def test_scene_refit_render_matches_rebuild():
+    """A transform edit rendered through build(refit=True) must match the
+    full rebuild exactly (culling is result-neutral)."""
+    import jax.numpy as jnp
+
+    from simple_raytracer_tpu.models.presets import CONFIGS
+    from simple_raytracer_tpu.models.shapes import transform_trs
+    from simple_raytracer_tpu.ops.camera import camera_rotation, generate_rays
+    from simple_raytracer_tpu.ops.intersect import closest_hit
+
+    scene, camera, _ = CONFIGS[5]()
+    scene.build()                                # prime the topology cache
+    scene.set_model_transform(scene.models[0],
+                              transform_trs((0.5, 0.2, -0.3)))
+    ds_refit = scene.build(refit=True)
+    ds_full = scene.build()
+    assert ds_refit.triangles.clusters is not None
+    cam = camera.state(16 / 9)
+    rot = camera_rotation(cam.yaw, cam.pitch)
+    o, d, _ = generate_rays(64, 36, 1, jnp.uint32(5), cam.position, rot,
+                            cam.aspect_ratio, cam.fov_scale)
+    h1 = closest_hit(ds_refit, o, d, tri_backend="jnp")
+    h2 = closest_hit(ds_full, o, d, tri_backend="jnp")
+    np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t),
+                               rtol=1e-6)
+
+
+def test_cluster_count_stable_across_transform_edits():
+    """Bucket padding keeps the kernel table SHAPE (a jit cache key)
+    stable when a transform edit changes the raw cluster count."""
+    from simple_raytracer_tpu.models.presets import CONFIGS
+    from simple_raytracer_tpu.models.shapes import transform_trs
+
+    scene, _, _ = CONFIGS[5]()
+    s1 = scene.build().triangles.clusters.table_t.shape
+    scene.set_model_transform(scene.models[0],
+                              transform_trs((3.0, 1.0, -2.0),
+                                            scale=(1.7, 0.4, 1.1)))
+    s2 = scene.build().triangles.clusters.table_t.shape
+    assert s1 == s2

@@ -210,3 +210,30 @@ def test_distributed_initialize_subprocess():
                          cwd=repo)
     assert out.returncode == 0, out.stderr[-2000:]
     assert "count 1 False" in out.stdout
+
+
+def test_sharded_fused_megakernel_matches_single(devices):
+    """The fused whole-trace megakernel under shard_map (per-device
+    traced row0 feeds in-kernel raygen) matches the single-chip fused
+    render.  Interpret-mode Pallas on the CPU mesh."""
+    scene, camera, _ = config2_four_spheres(width=64, height=48)
+    ds = scene.build()
+    cam = camera.state(64 / 48)
+
+    from simple_raytracer_tpu.ops.trace import make_render_step
+    single_fn = make_render_step(64, 48, 1, 3, tri_backend="fused",
+                                 ray_tile=None, jit=False)
+    single = np.asarray(single_fn(ds, cam,
+                                  jnp.zeros((48, 64, 3), jnp.float32),
+                                  jnp.uint32(21)))
+
+    mesh = make_mesh(devices)
+    step, mesh, _ = make_sharded_render_step(64, 48, 1, 3, mesh=mesh,
+                                             tri_backend="fused",
+                                             ray_tile=None)
+    canvas = make_sharded_canvas(mesh, 48, 64)
+    out = step(ds, cam, canvas, jnp.uint32(21))
+    # interpret-mode Pallas and XLA fuse FMAs differently per program;
+    # measured band diffs are ~1.6e-6 (pure fp reassociation noise)
+    np.testing.assert_allclose(np.asarray(out), single, rtol=1e-4,
+                               atol=1e-5)
