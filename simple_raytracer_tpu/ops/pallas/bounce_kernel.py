@@ -514,12 +514,22 @@ def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
 
     # bounces 0..n-2 as an in-kernel loop (ONE compiled body — a python
     # unroll sent Mosaic compile time to minutes at 10 bounces), the
-    # final bounce statically (its BSDF sample is dead code)
+    # final bounce statically (its BSDF sample is dead code).  The loop
+    # exits as soon as the BLOCK has no live ray — deep-bounce renders
+    # stop iterating over sky/emissive regions (result-neutral: a dead
+    # block's bounces are fully masked).
     carry = (o, d, pltpu.bitcast(seed, jnp.float32),
              jnp.where(alive, 1.0, 0.0), mask, color, sky_mask, sky_dir)
     if num_bounces > 1:
-        carry = jax.lax.fori_loop(
-            0, num_bounces - 1, lambda i, c: one_bounce(c, False), carry)
+        def cond(iv):
+            i, c = iv
+            return (i < num_bounces - 1) & (jnp.sum(c[3]) > 0.0)
+
+        def body(iv):
+            i, c = iv
+            return i + 1, one_bounce(c, False)
+
+        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
     o, d, seed_f, alive_f, mask, color, sky_mask, sky_dir = \
         one_bounce(carry, True)
 

@@ -452,6 +452,8 @@ class RenderLoop:
         self._screenshot_requested = False
         self._p_held = False   # edge-trigger: one press = one screenshot
         self._refit_at = None  # monotonic time of the last refit sync
+        self._pending_opts = None   # set_render target while compiling
+        self._render_gen = 0
         self.error: Exception = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
@@ -513,22 +515,51 @@ class RenderLoop:
     def _set_render(self, cmd: dict) -> dict:
         """Render params panel (interface.cpp:369-385).  samples/bounces
         are static jit shapes here, so changing them rebuilds the step
-        function (one recompile; the reference's OpenCL kernel reads them
-        dynamically)."""
+        function — the reference's OpenCL kernel reads them dynamically,
+        but its one-time program build cost the same class of stall at
+        startup (tracer.cpp:21-26).
+
+        The recompile happens on a BACKGROUND thread: the loop keeps
+        rendering with the old step until the new one has compiled, then
+        swaps atomically (stale compiles from rapid slider movement are
+        discarded by generation)."""
+        base = self._pending_opts or self.renderer.options
         o = self.renderer.options
         opts = RenderOptions(
-            width=o.width, height=o.height,
-            num_samples=max(1, int(cmd.get("samples", o.num_samples))),
-            num_bounces=max(1, int(cmd.get("bounces", o.num_bounces))),
-            show_normals=bool(cmd.get("show_normals", o.show_normals)),
-            tri_chunk=o.tri_chunk, tri_backend=o.tri_backend,
-            ray_tile=o.ray_tile)
-        if opts != o:
-            renderer = Renderer(opts)
-            renderer.set_device_scene(self.renderer.device_scene)
-            self.renderer = renderer
-            self._dirty = True
-        return {"ok": True, "changed": opts != o}
+            width=base.width, height=base.height,
+            num_samples=max(1, int(cmd.get("samples", base.num_samples))),
+            num_bounces=max(1, int(cmd.get("bounces", base.num_bounces))),
+            show_normals=bool(cmd.get("show_normals", base.show_normals)),
+            tri_chunk=base.tri_chunk, tri_backend=base.tri_backend,
+            ray_tile=base.ray_tile)
+        if opts == o:
+            self._pending_opts = None
+            return {"ok": True, "changed": False}
+        self._render_gen += 1
+        gen = self._render_gen
+        self._pending_opts = opts
+        renderer = Renderer(opts)
+        renderer.set_device_scene(self.renderer.device_scene)
+        cam = Camera(position=self.camera.position, yaw=self.camera.yaw,
+                     pitch=self.camera.pitch, fov=self.camera.fov)
+
+        def warm():
+            try:
+                renderer.step(cam, time=1)      # triggers the compile
+                renderer.clear_canvas()
+                with self._lock:
+                    if self._render_gen != gen:
+                        return                  # superseded by a newer edit
+                    renderer.set_device_scene(self.renderer.device_scene)
+                    self.renderer = renderer
+                    self._pending_opts = None
+                    self._dirty = True
+            except Exception as e:              # surfaced via /state
+                self.error = e
+
+        threading.Thread(target=warm, daemon=True,
+                         name="srt-render-compile").start()
+        return {"ok": True, "changed": True, "compiling": True}
 
     def _drag_shape(self, cmd: dict) -> dict:
         """Mouse-drag manipulation of the selected shape — the gizmo
@@ -593,11 +624,14 @@ class RenderLoop:
         with self._lock:
             d = self.editor.describe() if self.editor else {
                 "shapes": [], "materials": [], "sky": {}}
-            o = self.renderer.options
+            # while a set_render recompiles in the background the panels
+            # show the TARGET params (the user's slider position)
+            o = self._pending_opts or self.renderer.options
             d["render"] = {"samples": o.num_samples,
                            "bounces": o.num_bounces,
                            "show_normals": o.show_normals,
-                           "width": o.width, "height": o.height}
+                           "width": o.width, "height": o.height,
+                           "compiling": self._pending_opts is not None}
             d["camera"] = {"position": list(self.camera.position),
                            "yaw": self.camera.yaw,
                            "pitch": self.camera.pitch,

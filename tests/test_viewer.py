@@ -221,10 +221,18 @@ def test_set_render_params(server):
     r = _edit(srv, {"op": "set_render", "bounces": 2, "samples": 1})
     assert r["ok"] and not r["changed"]   # unchanged: no recompile
     r = _edit(srv, {"op": "set_render", "show_normals": True})
-    assert r["ok"] and r["changed"]
-    assert loop.renderer.options.show_normals
+    assert r["ok"] and r["changed"] and r["compiling"]
+    # the /scene panel reflects the target immediately, while the
+    # recompile runs on a background thread and swaps when ready
     s = json.loads(_get(srv, "/scene").read())
     assert s["render"]["show_normals"]
+    deadline = time.time() + 240
+    while (not loop.renderer.options.show_normals
+           and time.time() < deadline):
+        assert loop.error is None, loop.error
+        time.sleep(0.05)
+    assert loop.renderer.options.show_normals
+    assert loop._pending_opts is None
 
 
 def test_screenshot_edge_triggered(server, tmp_path):
