@@ -248,6 +248,123 @@ def _tris_small(tab, o: Vec3, d: Vec3):
     return t_best, n_raw, pick(jnp.broadcast_to(col(18), t.shape))
 
 
+def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
+                    n_clusters, block_l):
+    """In-kernel BVH-clustered triangle traversal over a VMEM-resident
+    table — the unified-megakernel form of ops/pallas/bvh_kernel.py's
+    VMEM variant, operating on VALUE carries instead of scratch refs.
+
+    Clusters are visited in the precomputed front-to-back ``order`` (SMEM
+    (C,) i32); each cluster's AABB group is slab-tested against the LIVE
+    best t (which starts at the sphere/plane seed and only tightens), and
+    survivors run Moller-Trumbore with the candidate smooth normal
+    interpolated from MT's (u, v) so the running state is just 6 rows:
+    [t, won, nx, ny, nz, material].
+
+    Returns (t_t, n_raw Vec3, m_tri) with t_t = +inf where no triangle
+    beat the seed — the same contract the split BVH path feeds the
+    bounce body."""
+    inx = 1.0 / d.x
+    iny = 1.0 / d.y
+    inz = 1.0 / d.z
+    shape = o.x.shape
+    zero = jnp.zeros(shape, jnp.float32)
+
+    def group_word(g, t_best):
+        """Slab-test group g's 8 AABBs against the LIVE best t; one i32
+        word of per-cluster hit bits (exact f32 power-of-two sum — Mosaic
+        cannot scalar-read VMEM vectors)."""
+        tile8 = aabb8[pl.ds(pl.multiple_of(g * 8, 8), 8), :]
+        col8 = lambda k: tile8[:, k:k + 1]
+        t1x = (col8(0) - o.x) * inx
+        t2x = (col8(3) - o.x) * inx
+        t1y = (col8(1) - o.y) * iny
+        t2y = (col8(4) - o.y) * iny
+        t1z = (col8(2) - o.z) * inz
+        t2z = (col8(5) - o.z) * inz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.minimum(t1y, t2y)),
+                           jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                      jnp.maximum(t1y, t2y)),
+                          jnp.minimum(jnp.maximum(t1z, t2z), t_best))
+        maybe = jnp.logical_not(near >= far) & live
+        flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
+        weights = (2.0 ** jax.lax.broadcasted_iota(
+            jnp.int32, (8, 1), 0).astype(jnp.float32))
+        return jnp.sum(flags * weights).astype(jnp.int32)
+
+    def visit_group(j, carry):
+        g = order[j]
+        word = group_word(g, carry[0])
+
+        def scan_bits(carry):
+            def bit(k, carry):
+                return jax.lax.cond(((word >> k) & 1) > 0,
+                                    lambda c_: mt(g * 8 + k, c_),
+                                    lambda c_: c_, carry)
+            return jax.lax.fori_loop(0, 8, bit, carry)
+
+        return jax.lax.cond(word != 0, scan_bits, lambda c_: c_, carry)
+
+    def mt(c, carry):
+        t_best, won, nx_b, ny_b, nz_b, m_b = carry
+        row0 = pl.multiple_of(c * block_l, block_l)
+        tile = table[pl.ds(row0, block_l), :]
+        col = lambda k: tile[:, k:k + 1]
+        e1x, e1y, e1z = col(3), col(4), col(5)
+        e2x, e2y, e2z = col(6), col(7), col(8)
+        hx = d.y * e2z - d.z * e2y
+        hy = d.z * e2x - d.x * e2z
+        hz = d.x * e2y - d.y * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / a
+        sx = o.x - col(0)
+        sy = o.y - col(1)
+        sz = o.z - col(2)
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (d.x * qx + d.y * qy + d.z * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        valid = ((a != 0.0)
+                 & (u >= 0.0) & (u <= 1.0)
+                 & (v >= 0.0) & (u + v <= 1.0)
+                 & (t > 0.0)
+                 & (col(19) > 0.0))
+        t = jnp.where(valid, t, _INF)
+        u = jnp.where(valid, u, 0.0)
+        v = jnp.where(valid, v, 0.0)
+        w0 = 1.0 - u - v
+        nx = col(9) * w0 + col(12) * u + col(15) * v
+        ny = col(10) * w0 + col(13) * u + col(16) * v
+        nz = col(11) * w0 + col(14) * u + col(17) * v
+        local_t = jnp.min(t, axis=0, keepdims=True)
+        n = t.shape[0]
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (n, 1), 0).astype(jnp.float32)
+        imin = jnp.min(jnp.where(t == local_t, iota, jnp.float32(1e9)),
+                       axis=0, keepdims=True)
+        sel = jnp.where((t == local_t) & (iota == imin), 1.0, 0.0)
+        pick = lambda q: jnp.sum(q * sel, axis=0, keepdims=True)
+        better = local_t < t_best
+        return (jnp.where(better, local_t, t_best),
+                jnp.where(better, 1.0, won),
+                jnp.where(better, pick(nx), nx_b),
+                jnp.where(better, pick(ny), ny_b),
+                jnp.where(better, pick(nz), nz_b),
+                jnp.where(better,
+                          pick(jnp.broadcast_to(col(18), t.shape)),
+                          m_b))
+
+    init = (t_init, zero, zero, zero, zero, zero)
+    t_best, won, nx_b, ny_b, nz_b, m_b = jax.lax.fori_loop(
+        0, n_clusters // 8, visit_group, init)
+    t_t = jnp.where(won > 0.0, t_best, _INF)
+    return t_t, Vec3(nx_b, ny_b, nz_b), m_b
+
+
 def _gather_mat(mat_tab, m_idx) -> MatFields:
     """gather_materials semantics as in-kernel 0/1 masked reductions
     (exact: one nonzero per ray; see _winner for why not an MXU dot)."""
@@ -264,7 +381,7 @@ def _gather_mat(mat_tab, m_idx) -> MatFields:
 # -- the bounce body (shared by the per-bounce and whole-trace kernels) -----
 
 def _bounce_body(o, d, seed, alive, mask, color, sky_mask, sky_dir,
-                 sph, pln, mat_tab, tri, last):
+                 sph, pln, mat_tab, tri, last, prims=None):
     """One iteration of the trace bounce loop (render.cl:403-467) on
     (1, BR) rows — verbatim ops/trace.trace_rays semantics.
 
@@ -278,10 +395,15 @@ def _bounce_body(o, d, seed, alive, mask, color, sky_mask, sky_dir,
     inf = jnp.full(o.x.shape, _INF)
     zero = jnp.zeros(o.x.shape, jnp.float32)
     t_s = t_p = t_t = inf
-    if sph is not None:
-        t_s, s_attr = _spheres(sph, o, d)
-    if pln is not None:
-        t_p, p_attr = _planes(pln, o, d)
+    if prims is not None:
+        # the clustered-traversal caller already intersected the dense
+        # primitives (their best t seeds the BVH slab far bound)
+        t_s, s_attr, t_p, p_attr = prims
+    else:
+        if sph is not None:
+            t_s, s_attr = _spheres(sph, o, d)
+        if pln is not None:
+            t_p, p_attr = _planes(pln, o, d)
     if tri is not None:
         t_t, tri_normal_fn = tri
 
@@ -419,7 +541,8 @@ def _bounce_kernel(counts, flags, state, *tabs_and_out,
 
 def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
                   num_samples, width, tile, n_rays, block_r,
-                  has_spheres, has_planes, has_tris):
+                  has_spheres, has_planes, has_tris, n_clusters=0,
+                  block_l=0):
     """Ray generation + the full bounce loop for one ray block — ray state
     never leaves VMEM; only the 9 result rows (color, deferred-sky
     throughput and direction) are written back.  Small meshes (<=
@@ -436,13 +559,18 @@ def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
     from .. import rng
 
     i = 0
-    sph = pln = tri_tab = None
+    sph = pln = tri_tab = cl_order = cl_table = cl_aabb = None
     if has_spheres:
         sph = tabs_and_out[i]; i += 1
     if has_planes:
         pln = tabs_and_out[i]; i += 1
-    if has_tris:
+    if has_tris and n_clusters == 0:
         tri_tab = tabs_and_out[i]; i += 1
+    if n_clusters:
+        cl_order = tabs_and_out[i]
+        cl_table = tabs_and_out[i + 1]
+        cl_aabb = tabs_and_out[i + 2]
+        i += 3
     mat_tab = tabs_and_out[i]
     out = tabs_and_out[i + 1]
     b = pl.program_id(0)
@@ -503,12 +631,27 @@ def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
         seed = pltpu.bitcast(seed_f, jnp.uint32)
         alive = alive_f > 0.0
         tri = None
+        prims = None
         if tri_tab is not None:
             t_t, n_raw, m_tri = _tris_small(tri_tab, o, d)
             tri = (t_t, lambda pos, _n=n_raw, _m=m_tri: (_n, _m))
+        if cl_table is not None:
+            # dense primitives first: their best t seeds the slab far
+            # bound so clusters behind a sphere/plane hit are skipped
+            inf_row = jnp.full(alive_f.shape, _INF)
+            t_s, s_attr = (_spheres(sph, o, d) if sph is not None
+                           else (inf_row, None))
+            t_p, p_attr = (_planes(pln, o, d) if pln is not None
+                           else (inf_row, None))
+            prims = (t_s, s_attr, t_p, p_attr)
+            t_t, n_raw, m_tri = _tris_clustered(
+                cl_table, cl_aabb, cl_order, o, d, alive,
+                jnp.minimum(t_s, t_p), n_clusters=n_clusters,
+                block_l=block_l)
+            tri = (t_t, lambda pos, _n=n_raw, _m=m_tri: (_n, _m))
         o, d, seed, alive, mask, color, sky_mask, sky_dir = _bounce_body(
             o, d, seed, alive, mask, color, sky_mask, sky_dir,
-            sph, pln, mat_tab, tri, last=last)
+            sph, pln, mat_tab, tri, last=last, prims=prims)
         return (o, d, pltpu.bitcast(seed, jnp.float32),
                 jnp.where(alive, 1.0, 0.0), mask, color, sky_mask, sky_dir)
 
@@ -557,6 +700,26 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
     sph_tab, pln_tab, mat_tab = prim_tables(scene)
     tri_tab = small_tris_table(scene)
 
+    # clustered meshes whose table fits VMEM traverse in-kernel; the
+    # front-to-back cluster order (from the camera position — primaries
+    # dominate) is computed once per call in XLA
+    cl = scene.triangles.clusters
+    n_clusters = block_l = 0
+    cl_order = None
+    if cl is not None:
+        n_clusters = cl.aabb.shape[0]
+        block_l = cl.table_t.shape[0] // max(n_clusters, 1)
+        centers = (cl.aabb[:, 0:3] + cl.aabb[:, 3:6]) * 0.5
+        cam = jnp.stack([jnp.asarray(position.x, jnp.float32).reshape(()),
+                         jnp.asarray(position.y, jnp.float32).reshape(()),
+                         jnp.asarray(position.z, jnp.float32).reshape(())])
+        d2 = jnp.sum((centers - cam[None, :]) ** 2, axis=1)
+        # the kernel scans GROUPS of 8 clusters (one slab word each);
+        # order groups by their nearest member (sentinel-padded groups
+        # sort last and their slab word is always 0)
+        cl_order = jnp.argsort(d2.reshape(-1, 8).min(axis=1)
+                               ).astype(jnp.int32)
+
     f32 = lambda v: jnp.asarray(v, jnp.float32).reshape(())
     scal = jnp.stack([f32(c) for c in rot]
                      + [f32(position.x), f32(position.y), f32(position.z),
@@ -579,6 +742,9 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
     if tri_tab is not None:
         inputs.append(tri_tab)
         in_specs.append(whole(tri_tab))
+    if cl is not None:
+        inputs += [cl_order, cl.table_t, cl.aabb]
+        in_specs += [smem, whole(cl.table_t), whole(cl.aabb)]
     inputs.append(mat_tab)
     in_specs.append(whole(mat_tab))
 
@@ -586,7 +752,8 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         _trace_kernel, num_bounces=num_bounces, num_samples=num_samples,
         width=width, tile=ray_tile, n_rays=n_rays, block_r=block_r,
         has_spheres=sph_tab is not None, has_planes=pln_tab is not None,
-        has_tris=tri_tab is not None)
+        has_tris=tri_tab is not None or cl is not None,
+        n_clusters=n_clusters, block_l=block_l)
 
     rows = pl.pallas_call(
         kernel,

@@ -185,10 +185,14 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
         tile_height = height
     rot = camera_rotation(camera.yaw, camera.pitch)
     from .pallas.bounce_kernel import SMALL_TRIS_MAX
+    from .pallas.bvh_kernel import VMEM_TABLE_MAX_SLOTS
     n_tris = scene.triangles.material.shape[0]
-    use_mega = (not show_normals
-                and (n_tris == 0 or (n_tris <= SMALL_TRIS_MAX
-                                     and scene.triangles.clusters is None))
+    cl = scene.triangles.clusters
+    mega_tris = (n_tris == 0
+                 or (n_tris <= SMALL_TRIS_MAX and cl is None)
+                 or (cl is not None
+                     and cl.table_t.shape[0] <= VMEM_TABLE_MAX_SLOTS))
+    use_mega = (not show_normals and mega_tris
                 and tri_backend in ("auto", "fused")
                 and (tri_backend == "fused"
                      or jax.default_backend() == "tpu"))

@@ -46,6 +46,13 @@ def test_megakernel_matches_scan_path(n):
     _assert_close(a, b)
 
 
+def test_megakernel_clustered_mesh_matches_scan_path():
+    """Clustered mesh scenes traverse the BVH table inside the
+    megakernel (in-kernel group slab words + gated Moller-Trumbore)."""
+    a, b = _canvases(5, 64, 36, "fused")
+    _assert_close(a, b)
+
+
 def test_megakernel_tiled_order_identical():
     """ray_tile is a pure permutation for the megakernel's in-kernel
     raygen too: tiled and untiled fused renders are bit-identical."""
