@@ -655,18 +655,22 @@ def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
         return (o, d, pltpu.bitcast(seed, jnp.float32),
                 jnp.where(alive, 1.0, 0.0), mask, color, sky_mask, sky_dir)
 
-    # bounces 0..n-2 as an in-kernel loop (ONE compiled body — a python
-    # unroll sent Mosaic compile time to minutes at 10 bounces), the
-    # final bounce statically (its BSDF sample is dead code).  The loop
-    # exits as soon as the BLOCK has no live ray — deep-bounce renders
-    # stop iterating over sky/emissive regions (result-neutral: a dead
-    # block's bounces are fully masked).
+    # Bounce 0 unrolls statically (primary rays are always live, and the
+    # straight-line body schedules better), bounces 1..n-2 run as an
+    # in-kernel while_loop that exits as soon as the BLOCK has no live
+    # ray (result-neutral: a dead block's bounces are fully masked;
+    # deep-bounce renders stop iterating over sky/emissive regions), and
+    # the final bounce unrolls statically too (its BSDF sample is dead
+    # code).  A full python unroll is not an option — it sent Mosaic
+    # compile time to minutes at 10 bounces.
     carry = (o, d, pltpu.bitcast(seed, jnp.float32),
              jnp.where(alive, 1.0, 0.0), mask, color, sky_mask, sky_dir)
     if num_bounces > 1:
+        carry = one_bounce(carry, False)
+    if num_bounces > 2:
         def cond(iv):
             i, c = iv
-            return (i < num_bounces - 1) & (jnp.sum(c[3]) > 0.0)
+            return (i < num_bounces - 2) & (jnp.sum(c[3]) > 0.0)
 
         def body(iv):
             i, c = iv
