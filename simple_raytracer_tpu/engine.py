@@ -58,6 +58,7 @@ class Renderer:
         self.options = options
         self._mesh = None
         self._canvas_sharding = None
+        self._tile = None   # non-None: internal canvas is in tile order
         if options.all_devices and len(jax.devices()) > 1:
             from .parallel.mesh import DP_AXIS, make_mesh
             from .parallel.shard import make_sharded_render_step
@@ -84,11 +85,16 @@ class Renderer:
             if ray_tile == "auto":
                 ray_tile = ((8, 64) if options.height % 8 == 0
                             and options.width % 64 == 0 else None)
+            # internal canvases accumulate in ray-tile order: the untile
+            # permutation (~1.4 ms/step at 1080p) runs once per fetched
+            # image instead of once per step (tonemap is per-pixel)
+            self._tile = ray_tile
             self._step_fn = make_render_step(
                 options.width, options.height, options.num_samples,
                 options.num_bounces, show_normals=options.show_normals,
                 tri_chunk=options.tri_chunk,
                 tri_backend=options.tri_backend, ray_tile=ray_tile,
+                canvas_tiled=ray_tile is not None,
             )
         self._device_scene = None
         self._canvas = None
@@ -129,6 +135,11 @@ class Renderer:
 
     @property
     def canvas(self) -> jnp.ndarray:
+        """Row-major (H, W, 3) radiance sum (untiled view of the internal
+        accumulation state)."""
+        if self._tile is not None:
+            from .ops.camera import untile_image
+            return untile_image(self._canvas, self._tile)
         return self._canvas
 
     # -- rendering --------------------------------------------------------
@@ -166,7 +177,11 @@ class Renderer:
         steps = max(self.num_steps, 1)
         from .parallel.distributed import fetch_canvas
 
-        return fetch_canvas(tonemap_u8(self._canvas, steps))
+        img = tonemap_u8(self._canvas, steps)
+        if self._tile is not None:
+            from .ops.camera import untile_image
+            img = untile_image(img, self._tile)
+        return fetch_canvas(img)
 
     # -- checkpoint / resume ---------------------------------------------
     def state_dict(self) -> dict:
@@ -176,7 +191,7 @@ class Renderer:
         from .parallel.distributed import fetch_canvas
 
         return {
-            "canvas": fetch_canvas(self._canvas),
+            "canvas": fetch_canvas(self.canvas),   # row-major, portable
             "num_steps": self.num_steps,
         }
 
@@ -186,6 +201,9 @@ class Renderer:
         if canvas.shape != (o.height, o.width, 3):
             raise ValueError(
                 f"canvas shape {canvas.shape} != {(o.height, o.width, 3)}")
+        if self._tile is not None:
+            from .ops.camera import tile_image
+            canvas = tile_image(canvas, self._tile)
         self._canvas = jnp.asarray(canvas)
         if self._canvas_sharding is not None:
             self._canvas = jax.device_put(self._canvas,
@@ -218,7 +236,7 @@ class Renderer:
                               o.num_bounces, show_normals=o.show_normals,
                               tri_chunk=o.tri_chunk,
                               tri_backend=o.tri_backend, ray_tile=ray_tile,
-                              jit=False)
+                              jit=False, canvas_tiled=ray_tile is not None)
         scene, cam = self._device_scene, camera.state(o.width / o.height)
         n_lo, n_hi = max(2, warmup), max(2, warmup) + iters
 

@@ -61,6 +61,24 @@ def untile_pixels(values, width, band_height, tile):
     return v.transpose(0, 2, 1, 3).reshape(-1)
 
 
+def untile_image(img, tile):
+    """(H, W, C) image whose FLAT pixel order is tile-major -> row-major.
+    Works on numpy and jnp arrays (pure reshape/transpose)."""
+    h, w, c = img.shape
+    th, tw = tile
+    v = img.reshape(h // th, w // tw, th, tw, c)
+    return v.transpose(0, 2, 1, 3, 4).reshape(h, w, c)
+
+
+def tile_image(img, tile):
+    """Inverse of untile_image: row-major (H, W, C) -> tile-major flat
+    order (stored back in the same (H, W, C) container)."""
+    h, w, c = img.shape
+    th, tw = tile
+    v = img.reshape(h // th, th, w // tw, tw, c)
+    return v.transpose(0, 2, 1, 3, 4).reshape(h, w, c)
+
+
 def generate_rays(width, height, num_samples, time, camera_pos: Vec3, rot,
                   aspect_ratio, fov_scale, row0=0, tile_height=None,
                   tile=None):

@@ -542,7 +542,7 @@ def _bounce_kernel(counts, flags, state, *tabs_and_out,
 def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
                   num_samples, width, tile, n_rays, block_r,
                   has_spheres, has_planes, has_tris, n_clusters=0,
-                  block_l=0):
+                  block_l=0, fold_sky=False):
     """Ray generation + the full bounce loop for one ray block — ray state
     never leaves VMEM; only the 9 result rows (color, deferred-sky
     throughput and direction) are written back.  Small meshes (<=
@@ -680,11 +680,30 @@ def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
     o, d, seed_f, alive_f, mask, color, sky_mask, sky_dir = \
         one_bounce(carry, True)
 
-    out[...] = jnp.concatenate([
-        color.x, color.y, color.z,
-        sky_mask.x, sky_mask.y, sky_mask.z,
-        sky_dir.x, sky_dir.y, sky_dir.z,
-    ], axis=0)
+    if fold_sky:
+        # analytic gradient environment evaluated IN-KERNEL on the
+        # deferred-miss rows (the same ops.sky.sky_gradient source), so
+        # only the 3 radiance rows leave the kernel and the separate XLA
+        # sky pass disappears
+        from ..scene_types import SkyParams
+        from ..sky import sky_gradient
+        s = lambda k: scal[k]
+        skyp = SkyParams(
+            sun_focus=s(30), sun_intensity=s(31),
+            sun_color=Vec3(s(24), s(25), s(26)),
+            sun_direction=Vec3(s(27), s(28), s(29)),
+            horizon_color=Vec3(s(15), s(16), s(17)),
+            zenith_color=Vec3(s(18), s(19), s(20)),
+            ground_color=Vec3(s(21), s(22), s(23)))
+        skyc = sky_gradient(sky_dir, skyp)
+        color = color + sky_mask * skyc
+        out[...] = jnp.concatenate([color.x, color.y, color.z], axis=0)
+    else:
+        out[...] = jnp.concatenate([
+            color.x, color.y, color.z,
+            sky_mask.x, sky_mask.y, sky_mask.z,
+            sky_dir.x, sky_dir.y, sky_dir.z,
+        ], axis=0)
 
 
 def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
@@ -692,11 +711,11 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
                      num_bounces: int, row0=0, tile_height: int = None,
                      ray_tile=None, block_r: int = 1536,
                      interpret: bool = False):
-    """Whole-trace megakernel path: returns per-ray radiance rows
-    (color, sky_mask, sky_dir) for the band's (tile_height*W*S,) rays.
-
-    Drop-in replacement for generate_rays + trace_rays on triangle-free
-    scenes; one Pallas call traces every sample to completion."""
+    """Whole-trace megakernel path: per-ray RADIANCE for the band's
+    (tile_height*W*S,) rays — generate_rays + trace_rays + the deferred
+    environment term in one.  Gradient-sky scenes evaluate the sky
+    in-kernel; texture skyboxes sample in XLA on the returned miss rows
+    (the MXU two-hot sampler needs the whole image resident)."""
     if tile_height is None:
         tile_height = height
     n_rays = width * tile_height * num_samples
@@ -724,10 +743,17 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         cl_order = jnp.argsort(d2.reshape(-1, 8).min(axis=1)
                                ).astype(jnp.int32)
 
+    fold_sky = scene.skybox is None
+    sk = scene.sky
     f32 = lambda v: jnp.asarray(v, jnp.float32).reshape(())
-    scal = jnp.stack([f32(c) for c in rot]
-                     + [f32(position.x), f32(position.y), f32(position.z),
-                        f32(aspect_ratio), f32(fov_scale), f32(height)])
+    v3 = lambda v: [f32(v.x), f32(v.y), f32(v.z)]
+    scal = jnp.stack(
+        [f32(c) for c in rot]
+        + [f32(position.x), f32(position.y), f32(position.z),
+           f32(aspect_ratio), f32(fov_scale), f32(height)]
+        + v3(sk.horizon_color) + v3(sk.zenith_color) + v3(sk.ground_color)
+        + v3(sk.sun_color) + v3(sk.sun_direction)
+        + [f32(sk.sun_focus), f32(sk.sun_intensity)])
     time_i = jax.lax.bitcast_convert_type(
         jnp.asarray(time, jnp.uint32).reshape(()), jnp.int32)
     scali = jnp.stack([time_i, jnp.asarray(row0, jnp.int32).reshape(())])
@@ -757,22 +783,26 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         width=width, tile=ray_tile, n_rays=n_rays, block_r=block_r,
         has_spheres=sph_tab is not None, has_planes=pln_tab is not None,
         has_tris=tri_tab is not None or cl is not None,
-        n_clusters=n_clusters, block_l=block_l)
+        n_clusters=n_clusters, block_l=block_l, fold_sky=fold_sky)
 
+    n_out = 3 if fold_sky else 9
     rows = pl.pallas_call(
         kernel,
         grid=(rp // block_r,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((9, block_r), lambda i: (0, i),
+        out_specs=pl.BlockSpec((n_out, block_r), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9, rp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_out, rp), jnp.float32),
         interpret=interpret,
     )(*inputs)
     r = lambda i: rows[i, :n_rays]
     color = Vec3(r(0), r(1), r(2))
+    if fold_sky:
+        return color
+    from ..sky import sky_color
     sky_mask = Vec3(r(3), r(4), r(5))
     sky_dir = Vec3(r(6), r(7), r(8))
-    return color, sky_mask, sky_dir
+    return color + sky_mask * sky_color(sky_dir, scene.sky, scene.skybox)
 
 
 def bounce_step(state: jnp.ndarray, is_last: jnp.ndarray, sph_tab, pln_tab,

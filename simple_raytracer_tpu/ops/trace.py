@@ -173,13 +173,20 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
                 num_samples: int, num_bounces: int,
                 show_normals: bool = False, tri_chunk: int = 256,
                 tri_backend: str = "auto", ray_tile=None, row0=0,
-                tile_height: int = None) -> jnp.ndarray:
+                tile_height: int = None,
+                canvas_tiled: bool = False) -> jnp.ndarray:
     """One progressive sample pass: trace S jittered samples per pixel and
     accumulate the per-pixel mean into the canvas (render.cl:483-523).
 
     canvas: (tile_height, W, 3) f32 running radiance sum (the full image
     when row0/tile_height are defaulted; one device's horizontal band under
     shard_map).  Returns the new canvas.
+
+    canvas_tiled=True keeps the canvas in the ray_tile pixel order — the
+    per-step untile permutation (~1.4 ms at 1080p) moves to image-fetch
+    time (tonemapping is per-pixel, so the order never matters until a
+    human looks).  The engine owns the convention; external callers get
+    row-major canvases by default.
     """
     if tile_height is None:
         tile_height = height
@@ -197,17 +204,15 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
                 and (tri_backend == "fused"
                      or jax.default_backend() == "tpu"))
     if use_mega:
-        # triangle-free scenes: raygen + every bounce in ONE Pallas call —
-        # ray state never leaves VMEM (ops/pallas/bounce_kernel.py)
+        # raygen + every bounce + environment in ONE Pallas call — ray
+        # state never leaves VMEM (ops/pallas/bounce_kernel.py)
         from .pallas.bounce_kernel import trace_full_fused
         interp = jax.default_backend() != "tpu"
-        c, sky_mask, sky_dir = trace_full_fused(
+        color = trace_full_fused(
             scene, rot, camera.position, camera.aspect_ratio,
             camera.fov_scale, time, width=width, height=height,
             num_samples=num_samples, num_bounces=num_bounces, row0=row0,
             tile_height=tile_height, ray_tile=ray_tile, interpret=interp)
-        skyc = sky_color(sky_dir, scene.sky, scene.skybox)
-        color = c + sky_mask * skyc
     else:
         o, d, seed = generate_rays(width, height, num_samples, time,
                                    camera.position, rot,
@@ -222,7 +227,7 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
 
     def per_pixel(c):
         p = c.reshape(tile_height * width, num_samples).sum(axis=1) * inv_s
-        if ray_tile is not None:
+        if ray_tile is not None and not canvas_tiled:
             p = untile_pixels(p, width, tile_height, ray_tile)
         return p
 
@@ -238,7 +243,7 @@ def make_render_step(width: int, height: int, num_samples: int,
                      num_bounces: int, show_normals: bool = False,
                      tri_chunk: int = 256, tri_backend: str = "auto",
                      ray_tile=None, donate_canvas: bool = True,
-                     jit: bool = True):
+                     jit: bool = True, canvas_tiled: bool = False):
     """Build the jitted progressive step fn: (scene, camera, canvas, time) ->
     canvas.  Static shape config is baked in (the jit cache key), the moral
     equivalent of the reference's one-time kernel build (tracer.cpp:21-26).
@@ -247,6 +252,7 @@ def make_render_step(width: int, height: int, num_samples: int,
         render_pass, width=width, height=height, num_samples=num_samples,
         num_bounces=num_bounces, show_normals=show_normals,
         tri_chunk=tri_chunk, tri_backend=tri_backend, ray_tile=ray_tile,
+        canvas_tiled=canvas_tiled,
     )
     if not jit:
         return fn
