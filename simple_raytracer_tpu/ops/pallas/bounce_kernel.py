@@ -1,24 +1,42 @@
-"""Fused per-bounce wavefront kernel with per-block liveness skip.
+"""Fused wavefront Pallas kernels: the whole-trace megakernel and the
+per-bounce shade kernel.
 
-The scan-based bounce loop (ops/trace.py) runs every per-bounce stage —
-sphere/plane intersection, winner resolution, material gather, the BSDF
-lattice, sky recording — as dense XLA ops over ALL rays, even after most
-have terminated (measured ~4.7 ms/bounce at 1080p regardless of
-liveness).  This kernel fuses the whole bounce body into one Pallas pass
-over ray blocks and SKIPS blocks with no live ray: the ray state rides
-VMEM once per bounce instead of round-tripping HBM between stages, and
-dead blocks cost one VMEM copy.
+**The whole-trace megakernel** (``_trace_kernel`` / ``trace_full_fused``)
+is the production render path on TPU: one Pallas call per progressive
+pass does EVERYTHING —
 
-Bit-parity with the XLA path is maintained at the SOURCE level: the
-kernel body calls the same ``rng`` / ``bsdf.sample_material`` /
-``vec`` functions as ops/trace.py on (1, BR) rows (verified bit-identical
-on TPU — Mosaic and XLA lower jnp.sqrt/log/cos/sign to the same VPU
-sequences, and rng._u32_to_f32 emulates the u32->f32 convert exactly).
+  - ray generation in-kernel (pixel ids reconstructed from the grid
+    index, inverting the ray-tile permutation with integer ops; camera,
+    time and shard row-offset arrive as traced SMEM scalars, so nothing
+    recompiles on motion),
+  - the full bounce loop with the 20-row transposed ray state resident
+    in VMEM (bounce 0 and the last bounce unrolled, the middle as a
+    while_loop that EXITS as soon as the block has no live ray — the
+    final bounce statically skips its dead BSDF sample),
+  - dense sphere/plane intersection, small meshes (<= SMALL_TRIS_MAX)
+    as an in-kernel (T, BR) Moller-Trumbore, and clustered meshes with
+    VMEM-resident tables as an in-kernel BVH traversal: front-to-back
+    GROUP scan, one slab word per 8 cluster AABBs against the live best
+    t, gated MT with the smooth normal interpolated from MT's (u, v),
+  - the analytic gradient environment on the deferred-miss rows,
 
-Layout: ray state is ONE (20, R) f32 array carried through the bounce
-scan — rays on lanes, fields on sublanes (the transposed dense layout the
-BVH kernel established; (R, F) layouts lane-pad 16x and re-scan per
-consumed field).  Rows:
+and writes back only the radiance rows.  The equivalent dense-XLA scan
+(ops/trace.py) remains the portable reference path (CPU, goldens,
+texture skyboxes sample there on the returned miss rows).
+
+**The per-bounce kernel** (``_bounce_kernel`` / ``bounce_step``) serves
+meshes too large for VMEM residence: it interleaves with the HBM/DMA
+BVH kernel each bounce, carrying the same 20-row state through a scan
+and skipping dead blocks.
+
+Parity with the XLA path is maintained at the SOURCE level: the kernel
+bodies call the same ``rng`` / ``bsdf.sample_material`` / ``vec`` /
+``sky`` functions on (1, BR) rows (bit-identical on TPU up to
+float-associativity differences of XLA fusion, measured <= 5e-5 at
+1080p; pure-diffuse scenes are exactly bit-identical).
+
+State rows (rays on lanes, fields on sublanes — (R, F) layouts lane-pad
+16x and re-scan per consumed field):
 
     0-2  origin xyz          8-10  path throughput (mask)
     3-5  direction xyz      11-13  accumulated color
@@ -26,9 +44,8 @@ consumed field).  Rows:
          viewed as f32)     17-19  deferred-sky direction
     7    alive flag (0/1)
 
-Reference mapping: one kernel invocation == one iteration of the
-``trace`` bounce loop (render.cl:403-467) for every ray, with the same
-masked-update semantics as ops/trace.py.
+Reference mapping: render.cl:396-523 (``trace`` + ``__kernel render``),
+with the same masked-update semantics as ops/trace.py.
 """
 from __future__ import annotations
 

@@ -143,3 +143,23 @@ def test_checkpoint_roundtrip():
     r2.load_state_dict(state)
     np.testing.assert_array_equal(r2.image(), r.image())
     assert r2.num_steps == r.num_steps
+
+
+def test_tile_untile_image_roundtrip():
+    """tile_image/untile_image are exact inverses (the engine's internal
+    tile-order canvas relies on this at image/checkpoint boundaries)."""
+    import numpy as np
+
+    from simple_raytracer_tpu.ops.camera import (tile_image, untile_image,
+                                                 tiled_pixel_order)
+
+    h, w, tile = 32, 128, (8, 64)
+    img = np.arange(h * w * 3, dtype=np.float32).reshape(h, w, 3)
+    np.testing.assert_array_equal(untile_image(tile_image(img, tile), tile),
+                                  img)
+    # tile_image matches the ray enumeration: flat tiled canvas position j
+    # holds the pixel tiled_pixel_order[j]
+    order = np.asarray(tiled_pixel_order(w, h, tile))
+    flat = img.reshape(h * w, 3)
+    np.testing.assert_array_equal(
+        np.asarray(tile_image(img, tile)).reshape(h * w, 3), flat[order])
