@@ -163,3 +163,31 @@ def test_tile_untile_image_roundtrip():
     flat = img.reshape(h * w, 3)
     np.testing.assert_array_equal(
         np.asarray(tile_image(img, tile)).reshape(h * w, 3), flat[order])
+
+
+def test_checkpoint_roundtrip_with_tiled_canvas():
+    """state_dict/load_state_dict speak row-major regardless of the
+    internal tile-order accumulation (checkpoints stay portable)."""
+    import numpy as np
+
+    from simple_raytracer_tpu.engine import Renderer, RenderOptions
+    from simple_raytracer_tpu.models.presets import config2_four_spheres
+
+    scene, camera, _ = config2_four_spheres(width=64, height=16)
+    opts = RenderOptions(width=64, height=16, num_samples=1, num_bounces=2)
+    r = Renderer(opts, scene=scene)
+    assert r._tile is not None          # 64x16 divides the (8, 64) tile
+    r.step(camera, time=3)
+    img = r.image()
+    st = r.state_dict()
+
+    r2 = Renderer(opts, scene=scene)
+    r2.load_state_dict(st)
+    np.testing.assert_array_equal(r2.image(), img)
+    np.testing.assert_array_equal(np.asarray(r2.canvas), np.asarray(r.canvas))
+
+    # a renderer with tiling disabled loads the same checkpoint
+    r3 = Renderer(RenderOptions(width=64, height=16, num_samples=1,
+                                num_bounces=2, ray_tile=None), scene=scene)
+    r3.load_state_dict(st)
+    np.testing.assert_array_equal(r3.image(), img)
