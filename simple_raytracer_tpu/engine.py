@@ -73,13 +73,18 @@ class Renderer:
             if ray_tile == "auto":
                 ray_tile = ((8, 64) if band % 8 == 0
                             and options.width % 64 == 0 else None)
+            # per-band tile order composes into the global (H, W) untile
+            # at image time (band_h % th == 0, so band boundaries align
+            # with row-tile boundaries)
+            self._tile = ray_tile
             self._step_fn, self._mesh, self._canvas_sharding = \
                 make_sharded_render_step(
                     options.width, options.height, options.num_samples,
                     options.num_bounces, mesh=mesh,
                     show_normals=options.show_normals,
                     tri_chunk=options.tri_chunk,
-                    tri_backend=options.tri_backend, ray_tile=ray_tile)
+                    tri_backend=options.tri_backend, ray_tile=ray_tile,
+                    canvas_tiled=ray_tile is not None)
         else:
             ray_tile = options.ray_tile
             if ray_tile == "auto":

@@ -29,7 +29,8 @@ def make_sharded_render_step(width: int, height: int, num_samples: int,
                              tri_chunk: int = 256,
                              tri_backend: str = "auto",
                              ray_tile=None,
-                             donate_canvas: bool = True):
+                             donate_canvas: bool = True,
+                             canvas_tiled: bool = False):
     """Build the multi-chip progressive step: (scene, camera, canvas, time)
     -> canvas, with canvas sharded (H/n, W, 3) per device.
 
@@ -60,6 +61,7 @@ def make_sharded_render_step(width: int, height: int, num_samples: int,
             num_bounces=num_bounces, show_normals=show_normals,
             tri_chunk=tri_chunk, tri_backend=tri_backend,
             ray_tile=ray_tile, row0=row0, tile_height=tile_h,
+            canvas_tiled=canvas_tiled,
         )
 
     mapped = shard_map(

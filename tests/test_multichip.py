@@ -237,3 +237,21 @@ def test_sharded_fused_megakernel_matches_single(devices):
     # measured band diffs are ~1.6e-6 (pure fp reassociation noise)
     np.testing.assert_allclose(np.asarray(out), single, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_renderer_all_devices_tiled_canvas(devices):
+    """Per-band tile-order accumulation under shard_map composes into
+    the global untile at image time (band boundaries align with row
+    tiles): 64x64 over 8 devices tiles each 8-row band."""
+    scene, camera, _ = config2_four_spheres(width=64, height=64)
+    opts1 = RenderOptions(width=64, height=64, num_samples=1, num_bounces=3)
+    r1 = Renderer(opts1, scene=scene)
+    r1.step(camera, time=9)
+    single = r1.image()
+
+    r8 = Renderer(RenderOptions(width=64, height=64, num_samples=1,
+                                num_bounces=3, all_devices=True),
+                  scene=scene)
+    assert r8._tile == (8, 64)
+    r8.step(camera, time=9)
+    np.testing.assert_array_equal(r8.image(), single)
