@@ -31,6 +31,7 @@ import io
 import json
 import threading
 import time
+import sys
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from math import cos, degrees, radians, sin, tan
 
@@ -817,6 +818,15 @@ def serve(scene, camera, options: RenderOptions, port: int = 8008,
           host: str = "127.0.0.1", fps_limit: float = 60.0,
           screenshot_path: str = "out.ppm"):
     renderer = Renderer(options, scene=scene)
+    # Warm the render step + tonemap on the MAIN thread before any worker
+    # starts: the first frame appears as soon as the loop spins up, and —
+    # critically — remote-attached backends (axon tunnel) have been seen
+    # to deadlock a compile issued from a worker thread until the main
+    # thread has completed one jit round-trip of its own.
+    print("compiling render step...", file=sys.stderr, flush=True)
+    renderer.step(camera)
+    renderer.image()
+    renderer.clear_canvas()
     loop = RenderLoop(renderer, camera, fps_limit=fps_limit,
                       screenshot_path=screenshot_path, scene=scene)
     loop.start()
