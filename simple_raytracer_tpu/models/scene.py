@@ -268,9 +268,15 @@ class Scene:
             # sentinels (lo = hi = 3e38: empty slab interval for every
             # ray) so a transform edit that changes the raw cluster
             # count doesn't change the table shape — which is a jit
-            # cache key and would force a recompile mid-drag
+            # cache key and would force a recompile mid-drag.  Power-of-
+            # two buckets up to 512 clusters; beyond that pad to a
+            # multiple of 128 (a pow2 bucket would add up to +100%
+            # sentinel clusters to the prepass and table of big meshes)
             c_raw, kk = cl.slots.shape
-            c_cap = _bucket(c_raw, minimum=8)
+            if c_raw <= 512:
+                c_cap = _bucket(c_raw, minimum=8)
+            else:
+                c_cap = ((c_raw + 127) // 128) * 128
             if c_cap > c_raw:
                 pad_aabb = np.zeros((c_cap - c_raw, 8), np.float32)
                 pad_aabb[:, 0:6] = 3.0e38
