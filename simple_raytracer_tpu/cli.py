@@ -157,10 +157,14 @@ def main(argv=None) -> int:
         else:
             save_png(args.out, img)
 
-    if args.save_state and write_files:
+    if args.save_state:
+        # state_dict() fetches the canvas, which is a COLLECTIVE
+        # (process_allgather) under --distributed — every process must
+        # execute it; only the file write is gated on process 0.
         st = r.state_dict()
-        np.savez_compressed(args.save_state, canvas=st["canvas"],
-                            num_steps=st["num_steps"])
+        if write_files:
+            np.savez_compressed(args.save_state, canvas=st["canvas"],
+                                num_steps=st["num_steps"])
 
     if args.metrics:
         m = ray_throughput(options.width, options.height,

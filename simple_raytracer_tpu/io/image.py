@@ -70,10 +70,9 @@ def load_skybox(path: os.PathLike, gamma: float = 2.2) -> np.ndarray:
     return arr[::-1].copy()  # flip vertically: row 0 = bottom
 
 
-def save_hdr(path: os.PathLike, image: np.ndarray) -> None:
-    """Write (H, W, 3) f32 linear radiance as a Radiance .hdr — the inverse
-    of load_hdr.  Uses new-style scanlines (literal-only chunks) when the
-    width allows so decoding is unambiguous, flat RGBE otherwise."""
+def float_to_rgbe(image: np.ndarray) -> np.ndarray:
+    """(H, W, 3) f32 linear -> (H, W, 4) u8 RGBE, the canonical Radiance
+    shared-exponent encoding (exponent from the max channel's frexp)."""
     img = np.asarray(image, np.float32)
     h, w = img.shape[:2]
     maxc = img.max(axis=-1)
@@ -84,6 +83,15 @@ def save_hdr(path: os.PathLike, image: np.ndarray) -> None:
     rgbe[..., :3] = np.where(valid[..., None],
                              np.clip(img * scale[..., None] + 0.5, 0, 255), 0)
     rgbe[..., 3] = np.where(valid, e + 128, 0)
+    return rgbe
+
+
+def save_hdr(path: os.PathLike, image: np.ndarray) -> None:
+    """Write (H, W, 3) f32 linear radiance as a Radiance .hdr — the inverse
+    of load_hdr.  Uses new-style scanlines (literal-only chunks) when the
+    width allows so decoding is unambiguous, flat RGBE otherwise."""
+    rgbe = float_to_rgbe(image)
+    h, w = rgbe.shape[:2]
     with open(path, "wb") as f:
         f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
         f.write(f"-Y {h} +X {w}\n".encode())

@@ -73,18 +73,26 @@ def config2_four_spheres(width: int = 960, height: int = 540) -> tuple:
 
 
 def config3_skybox_emissive(width: int = 960, height: int = 540,
-                            skybox: Optional[np.ndarray] = None) -> tuple:
+                            skybox="auto") -> tuple:
     """Skybox environment lighting + emissive area lights, 8-bounce.
 
     BASELINE.json specifies "skybox environment lighting
-    (assets/skybox.png)": when the reference checkout is present its
-    2048x1024 skybox texture is loaded (the reference always samples it,
-    tracer.cpp:42-52); otherwise the analytic gradient sky stands in so
-    the preset works anywhere."""
+    (assets/skybox.png)": with skybox="auto", when the reference
+    checkout is present its 2048x1024 skybox texture is loaded (the
+    reference always samples it, tracer.cpp:42-52); otherwise the
+    analytic gradient sky stands in so the preset works anywhere.
+    skybox="gradient" (or None) pins the gradient sky regardless of the
+    environment — the deterministic form the golden tests use — and an
+    (H, W, 3) array supplies an explicit texture."""
     scene = Scene()
-    if skybox is None:
-        from .showcase import load_reference_skybox
-        skybox = load_reference_skybox()
+    if isinstance(skybox, str):
+        if skybox == "auto":
+            from .showcase import load_reference_skybox
+            skybox = load_reference_skybox()
+        elif skybox == "gradient":
+            skybox = None
+        else:
+            raise ValueError(f"unknown skybox mode {skybox!r}")
     if skybox is not None:
         scene.skybox = skybox
     scene.add_plane((0, -1, 0), (0, 1, 0), material=0)

@@ -83,6 +83,7 @@ class Scene:
         self.skybox: Optional[np.ndarray] = None  # (H, W, 3) f32, bottom-up
         self._box_span: Optional[Tuple[int, int]] = None
         self._cluster_topo = None   # (key, accel.Clusters) refit cache
+        self._skybox_dev = None     # (id(self.skybox), device rep) cache
         if default_material:
             # default scene has one white diffuse "Material0" (main.cpp:100)
             self.materials.push(Material(), "Material0")
@@ -368,6 +369,17 @@ class Scene:
         # pure arithmetic, no texture gather
         if self.skybox is None:
             return None
+        # memoized per image object: packing checks the whole texture and
+        # device upload moves tens of MB — interactive edits that don't
+        # touch the skybox shouldn't repay either
+        key = id(self.skybox)
+        if self._skybox_dev is not None and self._skybox_dev[0] == key:
+            return self._skybox_dev[1]
         img = np.asarray(self.skybox, np.float32)
-        return Vec3(jnp.asarray(img[..., 0]), jnp.asarray(img[..., 1]),
-                    jnp.asarray(img[..., 2]))
+        from ..ops.sky import pack_skybox_quad
+        dev = pack_skybox_quad(img)
+        if dev is None:
+            dev = Vec3(jnp.asarray(img[..., 0]), jnp.asarray(img[..., 1]),
+                       jnp.asarray(img[..., 2]))
+        self._skybox_dev = (key, dev)
+        return dev

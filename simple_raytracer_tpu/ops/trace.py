@@ -51,12 +51,17 @@ def _fused_ok(scene: DeviceScene, tri_backend: str,
     forces it (tests run it in interpret mode elsewhere)."""
     if show_normals:
         return False
+    has_tris = scene.triangles.material.shape[0] > 0
+    capable = (not has_tris) or scene.triangles.clusters is not None
     if tri_backend == "fused":
-        return True
+        # trace_rays_fused dereferences scene.triangles.clusters for any
+        # mesh scene; a mid-size mesh (above SMALL_TRIS_MAX, below the
+        # cluster threshold) has clusters=None, so honoring "fused" there
+        # would crash — fall back to the scan path instead.
+        return capable
     if tri_backend != "auto" or jax.default_backend() != "tpu":
         return False
-    has_tris = scene.triangles.material.shape[0] > 0
-    return (not has_tris) or scene.triangles.clusters is not None
+    return capable
 
 
 def trace_rays_fused(scene: DeviceScene, o: Vec3, d: Vec3,

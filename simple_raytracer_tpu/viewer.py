@@ -556,6 +556,11 @@ class RenderLoop:
                     self._pending_opts = None
                     self._dirty = True
             except Exception as e:              # surfaced via /state
+                with self._lock:
+                    # clear the never-applied opts so /state stops saying
+                    # compiling and the next edit doesn't base off them
+                    if self._render_gen == gen:
+                        self._pending_opts = None
                 self.error = e
 
         threading.Thread(target=warm, daemon=True,

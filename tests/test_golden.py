@@ -19,11 +19,16 @@ STEPS = 2
 TIME0 = 1000
 
 SIZES = {1: (64, 64), 2: (96, 54), 3: (96, 54), 4: (96, 54), 5: (96, 54)}
+# goldens must not depend on the environment: config 3's "auto" skybox
+# would load /root/reference's texture whenever that checkout exists, so
+# the golden build pins the gradient sky explicitly
+KWARGS = {3: {"skybox": "gradient"}}
 
 
 def render_config(n):
     w, h = SIZES[n]
-    scene, camera, options = CONFIGS[n](width=w, height=h)
+    scene, camera, options = CONFIGS[n](width=w, height=h,
+                                        **KWARGS.get(n, {}))
     options = RenderOptions(width=w, height=h,
                             num_samples=options.num_samples,
                             num_bounces=options.num_bounces)
