@@ -212,6 +212,79 @@ def test_distributed_initialize_subprocess():
     assert "count 1 False" in out.stdout
 
 
+_DCN_WORKER = """
+import sys
+proc_id = int(sys.argv[1])
+out_dir = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+from simple_raytracer_tpu.parallel import distributed
+distributed.initialize(coordinator_address="localhost:19277",
+                       num_processes=2, process_id=proc_id)
+assert jax.process_count() == 2 and distributed.is_multiprocess()
+assert len(jax.local_devices()) == 4 and len(jax.devices()) == 8
+import numpy as np
+from simple_raytracer_tpu import Camera, Renderer, RenderOptions
+from simple_raytracer_tpu.models.presets import config2_four_spheres
+scene, camera, _ = config2_four_spheres(width=64, height=48)
+opts = RenderOptions(width=64, height=48, num_samples=1, num_bounces=3,
+                     all_devices=True)
+r = Renderer(opts, scene=scene)
+assert r.num_devices == 8
+r.step(camera, time=5)
+# state_dict -> fetch_canvas -> process_allgather: a COLLECTIVE that every
+# process must run (ADVICE r2: gating it on process 0 deadlocks)
+st = r.state_dict()
+if distributed.should_write_output():
+    np.savez(out_dir + "/dcn_canvas.npz", canvas=st["canvas"])
+else:
+    # the non-writing process proves it got the SAME full image over DCN
+    np.savez(out_dir + "/dcn_canvas_p1.npz", canvas=st["canvas"])
+"""
+
+
+def test_distributed_two_process_render(tmp_path):
+    """A REAL 2-process jax.distributed cluster (gloo over localhost):
+    each process owns 4 virtual CPU devices, the Renderer's all_devices
+    step runs over the process-spanning 8-device mesh, and
+    fetch_canvas's process_allgather branch assembles the full image on
+    BOTH processes — compared here against the in-process single-chip
+    render of the same scene (SURVEY §5 distributed backend)."""
+    import os
+    import subprocess
+    import sys
+    import sysconfig
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = tmp_path / "dcn_worker.py"
+    worker.write_text(_DCN_WORKER)
+    # -S skips the startup plugin that would initialize XLA before
+    # jax.distributed.initialize; PYTHONPATH restores the import path
+    env = dict(os.environ,
+               PYTHONPATH=sysconfig.get_paths()["purelib"] + os.pathsep + repo)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-S", str(worker), str(i), str(tmp_path)],
+        env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=280) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, (so[-1000:], se[-2000:])
+
+    gathered = np.load(tmp_path / "dcn_canvas.npz")["canvas"]
+    gathered_p1 = np.load(tmp_path / "dcn_canvas_p1.npz")["canvas"]
+    np.testing.assert_array_equal(gathered, gathered_p1)
+
+    from simple_raytracer_tpu.models.presets import config2_four_spheres
+    scene, camera, _ = config2_four_spheres(width=64, height=48)
+    r = Renderer(RenderOptions(width=64, height=48, num_samples=1,
+                               num_bounces=3), scene=scene)
+    r.step(camera, time=5)
+    np.testing.assert_allclose(gathered, np.asarray(r.canvas),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_sharded_fused_megakernel_matches_single(devices):
     """The fused whole-trace megakernel under shard_map (per-device
     traced row0 feeds in-kernel raygen) matches the single-chip fused
