@@ -39,6 +39,7 @@ def save_scene(path: os.PathLike, scene: Scene,
             for m in scene.models
         ],
         "sky": vars(scene.sky),
+        "sky_reachable": scene.sky_reachable,
         "camera": vars(camera) if camera is not None else None,
         "pool_file": None,
     }
@@ -92,6 +93,7 @@ def load_scene(path: os.PathLike) -> Tuple[Scene, Optional[Camera]]:
     sky = doc.get("sky") or {}
     scene.sky = SkySettings(**{k: tuple(v) if isinstance(v, list) else v
                                for k, v in sky.items()})
+    scene.sky_reachable = bool(doc.get("sky_reachable", True))
     if doc.get("skybox_file"):
         skybox = np.load(os.path.join(os.path.dirname(path) or ".",
                                       doc["skybox_file"]))

@@ -39,6 +39,11 @@ def config1_red_green(width: int = 512, height: int = 512) -> tuple:
     """Red/green walls + one diffuse sphere, direct lighting."""
     scene = Scene()
     _cornell_base(scene)
+    # the five infinite planes enclose every ray direction (only the
+    # measure-zero exact +z axis escapes): declare the sky unreachable so
+    # the megakernel skips its per-block early-exit check (result-neutral
+    # perf hint, ops.scene_types.SceneFlags)
+    scene.sky_reachable = False
     scene.add_sphere((0, -1, -2), 1.0, material=0)
     light = scene.add_material(
         Material(emission=(1, 1, 1), emission_strength=4.0), "Light")

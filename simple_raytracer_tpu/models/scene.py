@@ -17,8 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.scene_types import (DeviceScene, MaterialsSoA, PlanesSoA,
-                               SkyParams, SpheresSoA, TriangleClustersSoA,
-                               TrianglesSoA)
+                               SceneFlags, SkyParams, SpheresSoA,
+                               TriangleClustersSoA, TrianglesSoA)
 
 from ..ops.vec import Vec3
 from .materials import Material, MaterialSet, from_hex
@@ -81,6 +81,10 @@ class Scene:
         self.materials = MaterialSet()
         self.sky = SkySettings()
         self.skybox: Optional[np.ndarray] = None  # (H, W, 3) f32, bottom-up
+        # perf hint: declare the scene enclosed (no ray escapes to the
+        # sky) to skip the megakernel's early-exit check — result-neutral
+        # either way (ops.scene_types.SceneFlags)
+        self.sky_reachable: bool = True
         self._box_span: Optional[Tuple[int, int]] = None
         self._cluster_topo = None   # (key, accel.Clusters) refit cache
         self._skybox_dev = None     # (id(self.skybox), device rep) cache
@@ -192,6 +196,7 @@ class Scene:
             materials=self._build_materials(),
             sky=self._build_sky(),
             skybox=self._build_skybox(),
+            flags=SceneFlags(sky_reachable=self.sky_reachable),
         )
 
     def _build_spheres(self) -> SpheresSoA:

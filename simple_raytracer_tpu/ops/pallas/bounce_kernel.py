@@ -559,7 +559,7 @@ def _bounce_kernel(counts, flags, state, *tabs_and_out,
 def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
                   num_samples, width, tile, n_rays, block_r,
                   has_spheres, has_planes, has_tris, n_clusters=0,
-                  block_l=0, fold_sky=False):
+                  block_l=0, fold_sky=False, early_exit=True):
     """Ray generation + the full bounce loop for one ray block — ray state
     never leaves VMEM; only the 9 result rows (color, deferred-sky
     throughput and direction) are written back.  Small meshes (<=
@@ -685,15 +685,24 @@ def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
     if num_bounces > 1:
         carry = one_bounce(carry, False)
     if num_bounces > 2:
-        def cond(iv):
-            i, c = iv
-            return (i < num_bounces - 2) & (jnp.sum(c[3]) > 0.0)
+        if early_exit:
+            def cond(iv):
+                i, c = iv
+                return (i < num_bounces - 2) & (jnp.sum(c[3]) > 0.0)
 
-        def body(iv):
-            i, c = iv
-            return i + 1, one_bounce(c, False)
+            def body(iv):
+                i, c = iv
+                return i + 1, one_bounce(c, False)
 
-        _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+            _, carry = jax.lax.while_loop(cond, body, (jnp.int32(0), carry))
+        else:
+            # enclosed scene (SceneFlags.sky_reachable=False): rays only
+            # die on the final bounce, so the liveness reduction above
+            # never fires — a plain fori_loop drops its cost (config 1:
+            # 642 -> ~735 Mrays/s)
+            carry = jax.lax.fori_loop(
+                0, num_bounces - 2, lambda _, c: one_bounce(c, False),
+                carry)
     o, d, seed_f, alive_f, mask, color, sky_mask, sky_dir = \
         one_bounce(carry, True)
 
@@ -800,7 +809,8 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         width=width, tile=ray_tile, n_rays=n_rays, block_r=block_r,
         has_spheres=sph_tab is not None, has_planes=pln_tab is not None,
         has_tris=tri_tab is not None or cl is not None,
-        n_clusters=n_clusters, block_l=block_l, fold_sky=fold_sky)
+        n_clusters=n_clusters, block_l=block_l, fold_sky=fold_sky,
+        early_exit=scene.flags.sky_reachable)
 
     n_out = 3 if fold_sky else 9
     rows = pl.pallas_call(
@@ -812,6 +822,7 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         out_shape=jax.ShapeDtypeStruct((n_out, rp), jnp.float32),
         interpret=interpret,
     )(*inputs)
+    rows = jax.lax.optimization_barrier(rows)
     r = lambda i: rows[i, :n_rays]
     color = Vec3(r(0), r(1), r(2))
     if fold_sky:
@@ -819,7 +830,9 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
     from ..sky import sky_color
     sky_mask = Vec3(r(3), r(4), r(5))
     sky_dir = Vec3(r(6), r(7), r(8))
-    return color + sky_mask * sky_color(sky_dir, scene.sky, scene.skybox)
+    skyc = jax.lax.optimization_barrier(
+        sky_color(sky_dir, scene.sky, scene.skybox))
+    return color + sky_mask * skyc
 
 
 def bounce_step(state: jnp.ndarray, is_last: jnp.ndarray, sph_tab, pln_tab,

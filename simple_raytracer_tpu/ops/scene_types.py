@@ -64,6 +64,32 @@ class SkyboxTex:
         return cls(children[0], mode)
 
 
+@jax.tree_util.register_pytree_node_class
+class SceneFlags:
+    """Static (compile-time) per-scene hints.  All flags are pytree AUX
+    data — they participate in the jit cache key, never trace, and are
+    RESULT-NEUTRAL: a wrong value costs performance, not correctness.
+
+    sky_reachable=False declares the scene enclosed (no ray can escape
+    to the environment), letting the megakernel drop its per-block
+    early-exit liveness check: rays in an enclosed scene only die on the
+    final bounce, so the check is pure overhead there (config 1 measured
+    642 vs 735 Mrays/s with/without the check in round 2)."""
+
+    def __init__(self, sky_reachable: bool = True):
+        self.sky_reachable = bool(sky_reachable)
+
+    def tree_flatten(self):
+        return (), self.sky_reachable
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux)
+
+    def __repr__(self):
+        return f"SceneFlags(sky_reachable={self.sky_reachable})"
+
+
 class SpheresSoA(NamedTuple):
     """Mirrors Sphere (render.cl:29-32) across a padded (Ns,) axis."""
     center: Vec3            # (Ns,)
@@ -153,3 +179,5 @@ class DeviceScene(NamedTuple):
     # (u8/RGBE sources); Vec3 -> (Hs, Ws) per channel f32 bottom-up for
     # arbitrary float textures that don't pack exactly
     skybox: Optional[Union[Vec3, SkyboxTex]]
+    # static compile-time hints (aux-only pytree node, see SceneFlags)
+    flags: SceneFlags = SceneFlags()

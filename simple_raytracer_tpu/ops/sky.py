@@ -130,7 +130,12 @@ def sample_equirect_quad(tex: SkyboxTex, u: jnp.ndarray,
     sample_equirect_gather."""
     h, w = tex.shape
     x0i, x1i, y0i, y1i, ax, ay = _taps(h, w, u, v)
-    q = tex.quad.reshape(h * w, 4)[y0i * w + x0i]      # (R, 4) u32
+    # The barriers pin the gather as its OWN fusion: left to itself XLA
+    # fuses this gather into the surrounding consumer loop, which lowers
+    # it element-serial (~12 ms at 2M rays in the full render step); as a
+    # standalone fusion it runs at memory speed (~0.04 ms measured).
+    idx = jax.lax.optimization_barrier(y0i * w + x0i)
+    q = jax.lax.optimization_barrier(tex.quad.reshape(h * w, 4)[idx])
     decode = _decode_rgb8 if tex.mode == "rgb8" else _decode_rgbe
     p00 = decode(q[:, 0])
     p01 = decode(q[:, 1])

@@ -53,6 +53,37 @@ def test_megakernel_clustered_mesh_matches_scan_path():
     _assert_close(a, b)
 
 
+def test_enclosed_flag_is_result_neutral():
+    """SceneFlags.sky_reachable only toggles the megakernel's early-exit
+    liveness check: the fori_loop (enclosed) and while_loop forms must be
+    bit-identical on the same scene (config 1 presets enclosed=True)."""
+    scene, camera, _ = CONFIGS[1](width=64, height=64)
+    assert scene.sky_reachable is False
+    cam = camera.state(1.0)
+    outs = []
+    for reachable in (False, True):
+        scene.sky_reachable = reachable
+        ds = scene.build()
+        assert ds.flags.sky_reachable is reachable
+        f = make_render_step(64, 64, 1, 4, tri_backend="fused",
+                             ray_tile=None, jit=False)
+        c = jnp.zeros((64, 64, 3), jnp.float32)
+        outs.append(np.asarray(f(ds, cam, c, jnp.uint32(31))))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_scene_flags_static_in_pytree():
+    """SceneFlags is aux-only: toggling it changes the jit cache key
+    (recompile) but contributes no traced leaves."""
+    from simple_raytracer_tpu.ops.scene_types import SceneFlags
+
+    leaves, treedef = jax.tree_util.tree_flatten(SceneFlags(False))
+    assert leaves == []
+    t2 = jax.tree_util.tree_structure(SceneFlags(True))
+    assert treedef != t2
+    assert jax.tree_util.tree_structure(SceneFlags(False)) == treedef
+
+
 def test_megakernel_tiled_order_identical():
     """ray_tile is a pure permutation for the megakernel's in-kernel
     raygen too: tiled and untiled fused renders are bit-identical."""

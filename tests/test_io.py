@@ -121,10 +121,12 @@ def test_scene_json_roundtrip(tmp_path):
     sc.add_sphere((1, 2, 3), 0.75, material=m)
     sc.add_plane((0, -1, 0), (0, 1, 0))
     sc.add_box((0, 0, -3), size=(1, 2, 3), material=m)
+    sc.sky_reachable = False
     cam = Camera(position=(1, 2, 3), yaw=0.1, pitch=-0.2)
     path = tmp_path / "scene.json"
     save_scene(path, sc, cam)
     sc2, cam2 = load_scene(path)
+    assert sc2.sky_reachable is False
 
     assert len(sc2.spheres) == 1 and len(sc2.planes) == 1
     assert len(sc2.models) == 1
