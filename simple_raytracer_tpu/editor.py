@@ -216,6 +216,23 @@ class SceneEditor:
         dup = self.scene.duplicate_shape(shape)
         return {"index": _index_of(getattr(self.scene, _KINDS[kind]), dup)}
 
+    def _op_reorder_shape(self, cmd):
+        """Move a shape to a new position in its kind's list (the shape
+        list's drag-to-reorder, interface.cpp:203-216).  Purely
+        presentational for rendering (hit resolution is a global argmin),
+        but indices shift: returns the shape's new index so the client
+        can keep it selected."""
+        shape, kind = self._shape(cmd)
+        lst = getattr(self.scene, _KINDS[kind])
+        try:
+            to = int(cmd["to"])
+        except (KeyError, ValueError):
+            raise EditError("reorder needs an integer 'to' position") from None
+        to = max(0, min(len(lst) - 1, to))
+        lst.remove(shape)
+        lst.insert(to, shape)
+        return {"index": to}
+
     def _op_set_shape_material(self, cmd):
         shape, _ = self._shape(cmd)
         try:
@@ -305,21 +322,35 @@ class SceneEditor:
         return {}
 
     def _op_scale_shape(self, cmd):
-        """Gizmo scale mode: uniform scale about the shape's own origin.
-        Spheres scale their radius (the radius-from-scale-diff glue,
-        interface.cpp:13-34); models scale the 3x3 part; planes are
-        infinite and cannot be scaled."""
+        """Gizmo scale mode: uniform scale about the shape's own origin,
+        or along ONE world axis when cmd["axis"] is "x"/"y"/"z" (the
+        per-axis handle of tiny-gizmo's scale dragger).  Spheres scale
+        their radius either way (the radius-from-scale-diff glue,
+        interface.cpp:13-34 — a sphere has no per-axis extent); models
+        scale the 3x3 part (world-space premultiply, consistent with
+        rotate); planes are infinite and cannot be scaled."""
         shape, kind = self._shape(cmd)
         factor = float(cmd.get("factor", 1.0))
         if not (factor > 0.0) or not math.isfinite(factor):
             raise EditError("scale factor must be positive and finite")
+        axis = cmd.get("axis")
+        if axis is not None and axis not in ("x", "y", "z"):
+            raise EditError(f"unknown scale axis {axis!r}")
         if kind == "plane":
             raise EditError("planes are infinite and cannot be scaled")
         if kind == "sphere":
             shape.radius = float(shape.radius) * factor
         else:
             m = np.array(shape.transform, np.float64)
-            m[:3, :3] *= factor
+            if axis is None:
+                m[:3, :3] *= factor
+            else:
+                # S = I + (factor-1) a a^T premultiplied: stretch along
+                # the WORLD axis regardless of the instance's rotation
+                a = np.zeros(3)
+                a["xyz".index(axis)] = 1.0
+                s = np.eye(3) + (factor - 1.0) * np.outer(a, a)
+                m[:3, :3] = s @ m[:3, :3]
             self.scene.set_model_transform(shape, m.astype(np.float32))
         return {}
 

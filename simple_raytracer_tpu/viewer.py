@@ -70,11 +70,16 @@ _PAGE = """<!doctype html>
 <div id=main>
  <div id=hud>click image: select shape &middot; dblclick: capture mouse
   (WASD/Space/C fly &middot; wheel zoom) &middot; drag selected:
-  <span id=modehud>move</span> (G move / R rotate / E scale)
+  <span id=modehud>move</span> (G move / R rotate / E scale;
+  X/Y/Z or click a handle: axis lock)
   &middot; arrows/PgUp/PgDn nudge &middot; drag a material onto a shape to
-  assign &middot; P screenshot &middot;
+  assign &middot; drag shape rows to reorder &middot; P screenshot &middot;
   <span id=stats></span></div>
- <img id=view width=%(w)s height=%(h)s>
+ <div id=viewwrap style="position:relative">
+  <img id=view width=%(w)s height=%(h)s>
+  <svg id=gizmo width=%(w)s height=%(h)s
+       style="position:absolute;left:0;top:4px;pointer-events:none"></svg>
+ </div>
  <div id=error></div>
 </div>
 <div id=panel>
@@ -107,11 +112,16 @@ let S = null;                 // /scene state
 let sel = null;               // {kind, index}
 let dragging = false, lastDrag = null;
 let dragMode = 'translate';   // gizmo mode: translate | rotate | scale
+let dragAxis = null;          // null (free) | 'x' | 'y' | 'z'
 function setMode(m) {
   dragMode = m;
-  document.getElementById('modehud').textContent =
-    {translate:'move', rotate:'rotate', scale:'scale'}[m];
+  updateModeHud();
   renderSelected();
+}
+function updateModeHud() {
+  document.getElementById('modehud').textContent =
+    {translate:'move', rotate:'rotate', scale:'scale'}[dragMode] +
+    (dragAxis ? ' [' + dragAxis.toUpperCase() + ']' : '');
 }
 const img = document.getElementById('view');
 const W = %(w)s, H = %(h)s;
@@ -130,7 +140,7 @@ async function edit(cmd) {
 async function refresh() {
   S = await (await fetch('/scene')).json();
   renderShapes(); renderSelected(); renderMaterials(); renderSky();
-  renderRender(); renderCamera();
+  renderRender(); renderCamera(); renderGizmo();
 }
 
 function shapeName(s) {
@@ -169,11 +179,28 @@ function renderShapes() {
                               sel.index===s.index) sel = null;
                           edit({op:'remove_shape', kind:s.kind,
                                 index:s.index}); };
-    // drop target for material drag-assign (interface.cpp:231-247)
+    // drag source for list reorder (interface.cpp:203-216)
+    row.draggable = true;
+    row.ondragstart = ev => ev.dataTransfer.setData(
+      'text/plain', JSON.stringify({shape:{kind:s.kind, index:s.index}}));
+    // drop target for material drag-assign (interface.cpp:231-247) and
+    // for shape-row reorder
     row.ondragover = ev => ev.preventDefault();
-    row.ondrop = ev => {
+    row.ondrop = async ev => {
       ev.preventDefault();
-      const mi = parseInt(ev.dataTransfer.getData('text/plain'));
+      const data = ev.dataTransfer.getData('text/plain');
+      let src = null;
+      try { src = JSON.parse(data).shape; } catch (e) {}
+      if (src && src.kind === s.kind) {
+        const wasSel = sel && sel.kind === src.kind &&
+                       sel.index === src.index;
+        const j = await edit({op:'reorder_shape', kind:src.kind,
+                              index:src.index, to:s.index});
+        if (wasSel && j.ok) { sel.index = j.index;
+                              renderShapes(); renderSelected(); }
+        return;
+      }
+      const mi = parseInt(data);
       if (!isNaN(mi)) edit({op:'set_shape_material', kind:s.kind,
                             index:s.index, material:mi});
     };
@@ -357,19 +384,98 @@ function renderCamera() {
   div.appendChild(row);
 }
 
-// -- selection picking + drag-translate (the gizmo analog) ---------------
+// -- selection picking + drag manipulation (the gizmo analog) ------------
+// World -> image-pixel projection with the same camera basis and NDC
+// math as /pick; returns [px, py, depth] or null behind the camera.
+function project(p) {
+  const c = S && S.camera; if (!c) return null;
+  const cy = Math.cos(c.yaw), sy = Math.sin(c.yaw);
+  const cp = Math.cos(c.pitch), sp = Math.sin(c.pitch);
+  const right = [cy, 0, -sy], up = [sy*sp, cp, cy*sp],
+        fwd = [-sy*cp, sp, -cy*cp];
+  const r = [p[0]-c.position[0], p[1]-c.position[1], p[2]-c.position[2]];
+  const d = v => r[0]*v[0] + r[1]*v[1] + r[2]*v[2];
+  const x = d(right), y = d(up), z = d(fwd);
+  if (z < 0.05) return null;
+  const fs = Math.tan(c.fov * Math.PI / 360);   // fov is degrees here
+  return [((x / (z * fs * (W/H))) + 1) / 2 * W,
+          (1 - (y / (z * fs))) / 2 * H, z];
+}
+
+function selCenter() {
+  const s = findSel();
+  if (!s) return null;
+  return s.position || s.translation;
+}
+
+// Axis handles: 3 screen-space world-axis segments from the selected
+// shape (tiny-gizmo's translate/rotate/scale handles reduced to lines —
+// interface.cpp:13-104 picks the handle set per shape kind).
+const AXIS_COLOR = {x:'#e55', y:'#5d5', z:'#59f'};
+function axisSegments() {
+  const c0 = selCenter();
+  if (!c0) return null;
+  const a = project(c0);
+  if (!a) return null;
+  const segs = {};
+  for (const [ax, dir] of [['x',[1,0,0]], ['y',[0,1,0]], ['z',[0,0,1]]]) {
+    const b = project([c0[0]+dir[0], c0[1]+dir[1], c0[2]+dir[2]]);
+    if (b) segs[ax] = [a[0], a[1], b[0], b[1]];
+  }
+  return segs;
+}
+
+function renderGizmo() {
+  const svg = document.getElementById('gizmo');
+  const segs = axisSegments();
+  if (!segs) { svg.innerHTML = ''; return; }
+  let h = '';
+  for (const ax of ['x','y','z']) {
+    if (!segs[ax]) continue;
+    const [x1,y1,x2,y2] = segs[ax];
+    const wdt = dragAxis === ax ? 3 : 1.5;
+    h += `<line x1=${x1} y1=${y1} x2=${x2} y2=${y2} ` +
+         `stroke="${AXIS_COLOR[ax]}" stroke-width=${wdt} />` +
+         `<text x=${x2} y=${y2} fill="${AXIS_COLOR[ax]}" ` +
+         `font-size=11>${ax}</text>`;
+  }
+  svg.innerHTML = h;
+}
+
+function distToSeg(px, py, x1, y1, x2, y2) {
+  const vx = x2-x1, vy = y2-y1, len2 = vx*vx + vy*vy;
+  const t = len2 ? Math.max(0, Math.min(1,
+    ((px-x1)*vx + (py-y1)*vy) / len2)) : 0;
+  const qx = x1 + t*vx - px, qy = y1 + t*vy - py;
+  return Math.sqrt(qx*qx + qy*qy);
+}
+
 img.ondblclick = () => img.requestPointerLock();
 img.onmousedown = async e => {
   if (document.pointerLockElement === img) return;
   const r = img.getBoundingClientRect();
   const x = (e.clientX - r.left) * W / r.width;
   const y = (e.clientY - r.top) * H / r.height;
+  // clicking an axis handle starts an axis-constrained drag of the
+  // current selection (checked before /pick so handles win over
+  // geometry under them, like tiny-gizmo's hit priority)
+  const segs = sel && axisSegments();
+  if (segs) {
+    for (const ax of ['x','y','z']) {
+      if (segs[ax] && distToSeg(x, y, ...segs[ax]) < 8) {
+        dragAxis = ax; dragging = true;
+        lastDrag = [e.clientX, e.clientY];
+        updateModeHud(); renderGizmo();
+        return;
+      }
+    }
+  }
   const hit = await (await fetch('/pick', {method:'POST',
     body:JSON.stringify({x, y})})).json();
   const same = hit.shape && sel && hit.shape.kind === sel.kind &&
                hit.shape.index === sel.index;
   if (hit.shape) sel = hit.shape;
-  renderShapes(); renderSelected();
+  renderShapes(); renderSelected(); renderGizmo();
   if (same) { dragging = true; lastDrag = [e.clientX, e.clientY]; }
 };
 document.onmouseup = () => { dragging = false; };
@@ -378,10 +484,12 @@ document.onmousemove = e => {
     dx += e.movementX; dy += e.movementY;
   } else if (dragging && sel) {
     const [lx, ly] = lastDrag; lastDrag = [e.clientX, e.clientY];
-    fetch('/edit', {method:'POST', body:JSON.stringify(
-      {op:'drag_shape', kind:sel.kind, index:sel.index, mode:dragMode,
-       dx:(e.clientX - lx) / img.getBoundingClientRect().width,
-       dy:(e.clientY - ly) / img.getBoundingClientRect().height})});
+    const body = {op:'drag_shape', kind:sel.kind, index:sel.index,
+                  mode:dragMode,
+                  dx:(e.clientX - lx) / img.getBoundingClientRect().width,
+                  dy:(e.clientY - ly) / img.getBoundingClientRect().height};
+    if (dragAxis) body.axis = dragAxis;
+    fetch('/edit', {method:'POST', body:JSON.stringify(body)});
   }
 };
 
@@ -391,6 +499,13 @@ document.onkeydown = e => {
   if (k === 'g') setMode('translate');
   else if (k === 'r') setMode('rotate');
   else if (k === 'e') setMode('scale');
+  // Blender-style axis constraint: x/y/z toggles the world-axis lock
+  // for drags (same key again releases it)
+  else if (sel && ['x','y','z'].includes(k) &&
+           document.pointerLockElement !== img) {
+    dragAxis = dragAxis === k ? null : k;
+    updateModeHud(); renderGizmo();
+  }
   keys[e.key.toLowerCase()] = true;
   if (sel && ['arrowleft','arrowright','arrowup','arrowdown','pageup',
               'pagedown'].includes(e.key.toLowerCase())) {
@@ -418,6 +533,8 @@ async function tick() {
     document.getElementById('stats').textContent =
       `steps ${s.steps}  ${s.ms.toFixed(1)} ms/step  ${s.fps.toFixed(1)} fps`;
     img.src = '/frame.png?t=' + s.frame;
+    if (S && s.camera) S.camera = s.camera;
+    renderGizmo();   // track camera motion
     if (s.error) err(s.error);
   } catch (e) {}
   setTimeout(tick, 33);
@@ -567,9 +684,13 @@ class RenderLoop:
                          name="srt-render-compile").start()
         return {"ok": True, "changed": True, "compiling": True}
 
+    _WORLD_AXES = {"x": (1.0, 0.0, 0.0), "y": (0.0, 1.0, 0.0),
+                   "z": (0.0, 0.0, 1.0)}
+
     def _drag_shape(self, cmd: dict) -> dict:
         """Mouse-drag manipulation of the selected shape — the gizmo
-        analog, in the reference's three modes (interface.cpp:539-561):
+        analog, in the reference's three modes (interface.cpp:539-561,
+        tiny-gizmo.cpp:373+):
 
         translate (default): screen-relative (dx, dy) move the shape along
         the camera's right/up axes, scaled by its distance so the shape
@@ -578,11 +699,21 @@ class RenderLoop:
         camera's right axis (small increments compose as rotation-vector
         addition).
         scale: vertical drag scales uniformly (up = bigger).
+
+        cmd["axis"] ("x"|"y"|"z") constrains any mode to ONE world axis —
+        the per-axis dragger of tiny-gizmo's handle state machine
+        (tiny-gizmo.cpp:309-327): translate projects the free-space cursor
+        delta onto the axis, rotate spins about exactly that axis, scale
+        stretches along it (spheres scale their radius — the reference
+        maps any scale handle to radius, interface.cpp:13-34).
         """
         if self.editor is None:
             raise EditError("no editable scene")
         kind, index = cmd.get("kind"), cmd.get("index")
         mode = cmd.get("mode", "translate")
+        axis_name = cmd.get("axis")
+        if axis_name is not None and axis_name not in self._WORLD_AXES:
+            raise EditError(f"unknown drag axis {axis_name!r}")
         dx = float(cmd.get("dx", 0))
         dy = float(cmd.get("dy", 0))
         cam = self.camera
@@ -593,20 +724,26 @@ class RenderLoop:
         fwd = (-sy * cp, sp, -cy * cp)         # camera-space -z in world
 
         if mode == "rotate":
-            ax = dx * 6.28                     # full drag ~ full turn
-            ay = dy * 3.14
-            axis = tuple(ax * u + ay * r for u, r in zip((0.0, 1.0, 0.0),
-                                                         right))
-            angle = (ax * ax + ay * ay) ** 0.5
+            if axis_name is not None:
+                axis = self._WORLD_AXES[axis_name]
+                angle = (dx - dy) * 6.28       # either drag direction spins
+            else:
+                ax = dx * 6.28                 # full drag ~ full turn
+                ay = dy * 3.14
+                axis = tuple(ax * u + ay * r
+                             for u, r in zip((0.0, 1.0, 0.0), right))
+                angle = (ax * ax + ay * ay) ** 0.5
             if angle == 0.0:
                 return {"ok": True, "changed": False}
             return self.editor.apply({"op": "rotate_shape", "kind": kind,
                                       "index": index, "axis": axis,
                                       "angle": angle})
         if mode == "scale":
-            return self.editor.apply({"op": "scale_shape", "kind": kind,
-                                      "index": index,
-                                      "factor": 2.0 ** (-dy * 4.0)})
+            out = {"op": "scale_shape", "kind": kind, "index": index,
+                   "factor": 2.0 ** (-dy * 4.0)}
+            if axis_name is not None:
+                out["axis"] = axis_name
+            return self.editor.apply(out)
         if mode != "translate":
             raise EditError(f"unknown drag mode {mode!r}")
 
@@ -622,6 +759,14 @@ class RenderLoop:
         kx = 2.0 * dx * depth * fov_scale * (o.width / o.height)
         ky = -2.0 * dy * depth * fov_scale
         delta = tuple(kx * r + ky * u for r, u in zip(right, up))
+        if axis_name is not None:
+            # project the free-space delta onto the world axis: dragging
+            # along the axis' screen direction moves the shape, orthogonal
+            # drag does nothing (and a view-aligned axis moves ~0 — the
+            # same degeneracy tiny-gizmo's snap guards against)
+            a = self._WORLD_AXES[axis_name]
+            amount = sum(d * c for d, c in zip(delta, a))
+            delta = tuple(amount * c for c in a)
         return self.editor.apply({"op": "translate_shape", "kind": kind,
                                   "index": index, "delta": delta})
 
@@ -800,8 +945,16 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                                  float(data.get("wheel", 0)),
                                  float(data.get("dt", 0.016)))
                 _, frame, steps, ms, fps = loop.snapshot()
+                cam = loop.camera
                 self._send_json(
                     {"frame": frame, "steps": steps, "ms": ms, "fps": fps,
+                     # the gizmo overlay re-projects against the live
+                     # camera every tick (flying must not desync it)
+                     "camera": {"position": [float(v) for v in
+                                             cam.position],
+                                "yaw": float(cam.yaw),
+                                "pitch": float(cam.pitch),
+                                "fov": degrees(cam.fov)},
                      "error": repr(loop.error) if loop.error else None})
             elif self.path == "/edit":
                 try:

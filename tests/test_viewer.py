@@ -293,3 +293,70 @@ def test_drag_rotate_and_scale_modes(server):
     r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
                     "mode": "bogus"})
     assert not r["ok"]
+
+
+def test_axis_constrained_drag(server):
+    """Axis handles (tiny-gizmo.cpp:309-327 per-axis draggers): an
+    axis="x" drag moves the shape along world x ONLY, whatever the
+    screen-space cursor delta; axis rotate spins about exactly that
+    axis; axis scale on a sphere still scales the radius."""
+    srv, loop = server
+    pos0 = loop.scene.spheres[0].position
+    # default camera looks down -z: screen-right is world +x, so a
+    # diagonal drag constrained to "x" must change x and nothing else
+    r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
+                    "axis": "x", "dx": 0.1, "dy": 0.07})
+    pos1 = loop.scene.spheres[0].position
+    assert r["ok"] and pos1[0] > pos0[0]
+    assert pos1[1] == pos0[1] and pos1[2] == pos0[2]
+    # "y" constraint: only y moves (dx is discarded by the projection)
+    r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
+                    "axis": "y", "dx": 0.1, "dy": -0.07})
+    pos2 = loop.scene.spheres[0].position
+    assert r["ok"] and pos2[1] > pos1[1]
+    assert pos2[0] == pos1[0] and pos2[2] == pos1[2]
+    # "z" is view-aligned here: the projected amount is ~0 (degeneracy
+    # guard — the drag must not fling the shape)
+    r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
+                    "axis": "z", "dx": 0.1, "dy": 0.0})
+    pos3 = loop.scene.spheres[0].position
+    assert r["ok"] and abs(pos3[2] - pos2[2]) < 1e-5
+    # axis-constrained rotate on a plane: normal stays unit, turns about x
+    n0 = np.asarray(loop.scene.planes[0].normal)
+    r = _edit(srv, {"op": "drag_shape", "kind": "plane", "index": 0,
+                    "mode": "rotate", "axis": "x", "dx": 0.05, "dy": 0.0})
+    n1 = np.asarray(loop.scene.planes[0].normal)
+    assert r["ok"] and abs(n1[0] - n0[0]) < 1e-6  # x-component invariant
+    assert np.linalg.norm(n1 - n0) > 1e-3
+    # axis scale on a sphere: radius glue (interface.cpp:13-34)
+    r0 = loop.scene.spheres[0].radius
+    r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
+                    "mode": "scale", "axis": "y", "dx": 0.0, "dy": -0.1})
+    assert r["ok"] and loop.scene.spheres[0].radius > r0
+    # bogus axis: loud error
+    r = _edit(srv, {"op": "drag_shape", "kind": "sphere", "index": 0,
+                    "axis": "w", "dx": 0.1, "dy": 0.0})
+    assert not r["ok"] and "axis" in r["error"]
+
+
+def test_reorder_shape(server):
+    """Shape-list drag reorder (interface.cpp:203-216): /edit reorders
+    within the kind's list and /scene reflects the new order."""
+    srv, loop = server
+    _edit(srv, {"op": "add_sphere", "position": [2, 0, -3], "radius": 0.5})
+    _edit(srv, {"op": "add_sphere", "position": [-2, 0, -3], "radius": 0.25})
+    radii = [s.radius for s in loop.scene.spheres]
+    assert radii == [1.0, 0.5, 0.25]
+    r = _edit(srv, {"op": "reorder_shape", "kind": "sphere", "index": 2,
+                    "to": 0})
+    assert r["ok"] and r["index"] == 0
+    assert [s.radius for s in loop.scene.spheres] == [0.25, 1.0, 0.5]
+    s = json.loads(_get(srv, "/scene").read())
+    sph = [sh for sh in s["shapes"] if sh["kind"] == "sphere"]
+    assert [x["radius"] for x in sph] == [0.25, 1.0, 0.5]
+    # out-of-range 'to' clamps; bad payload errors loudly
+    r = _edit(srv, {"op": "reorder_shape", "kind": "sphere", "index": 0,
+                    "to": 99})
+    assert r["ok"] and r["index"] == 2
+    r = _edit(srv, {"op": "reorder_shape", "kind": "sphere", "index": 0})
+    assert not r["ok"] and "to" in r["error"]
