@@ -3,9 +3,11 @@
 Both renderers consume IDENTICAL RNG streams (the seed is a pure function
 of pixel id, sample and step time, render.cl:496), so the mean canvases
 are directly comparable: disagreement measures implementation error, not
-Monte-Carlo noise.  The scalar oracle is pure Python, so the comparison
-runs at reduced resolution; the TPU render additionally runs the full
-960x540 showcase at 1000 steps for the showcase/ gallery.
+Monte-Carlo noise.  The oracle runs in its lane-vectorized form
+(oracle.render_vec), which is asserted BIT-IDENTICAL to the scalar
+per-pixel oracle by tests/test_oracle_vec.py — that equivalence is what
+lets the comparison run at the full 960x540 showcase resolution instead
+of the reduced grids rounds 1-2 used.
 
 Writes the RMSE table to stdout (markdown) for PARITY.md.
 
@@ -45,8 +47,8 @@ def run_scene(name, builder, width, height, steps, samples=2, bounces=10):
     acc = np.zeros((height, width, 3), np.float64)
     t0 = time.time()
     for t in range(1, steps + 1):
-        acc += oracle.render(scene, camera, width, height, samples,
-                             bounces, t)
+        acc += oracle.render_vec(scene, camera, width, height, samples,
+                                 bounces, t)
         print(f"  {name}: oracle step {t}/{steps} "
               f"({time.time()-t0:.0f}s)", file=sys.stderr)
     orc_mean = acc / steps
@@ -74,12 +76,16 @@ def main():
         jobs = [("red_green", showcase_red_green, 48, 27, 4)]
     else:
         jobs = [
+            # reduced rows kept for round-to-round continuity
             ("red_green", showcase_red_green, 96, 54, args.steps),
             ("spheres", showcase_spheres, 96, 54, args.steps),
-            # the oracle tests every triangle per segment in Python:
-            # keep the mesh small (subdiv-1 icospheres, 160 tris) and the
-            # grid coarse for the mesh scene
-            ("model", lambda: showcase_model(subdivisions=1), 64, 36,
+            # FULL showcase resolution (the vectorized oracle streams
+            # ~1M lanes; the mesh scene stays reduced — its oracle still
+            # visits every triangle per bounce)
+            ("spheres", showcase_spheres, 960, 540, args.steps),
+            ("red_green", showcase_red_green, 960, 540,
+             max(4, args.steps // 2)),
+            ("model", lambda: showcase_model(subdivisions=1), 192, 108,
              max(4, args.steps // 2)),
         ]
 

@@ -13,6 +13,33 @@ import numpy as np
 F = np.float32
 
 
+# -- deterministic 3-vector helpers ------------------------------------------
+# Sequential f32 expression order, shared verbatim by the scalar path and
+# the vectorized path (render_vec) below: np.dot / np.linalg.norm / @ would
+# delegate tiny reductions to BLAS whose accumulation order is an
+# implementation detail, and a single-LSB difference can flip a Bernoulli
+# branch and decohere a whole path.  With these, render() and render_vec()
+# are BIT-IDENTICAL (asserted by tests/test_oracle_vec.py), so the fast
+# vectorized form inherits the scalar form's independence evidence.
+
+def dot3(a, b):
+    return a[..., 0] * b[..., 0] + a[..., 1] * b[..., 1] + a[..., 2] * b[..., 2]
+
+
+def cross3(a, b):
+    return np.stack([a[..., 1] * b[..., 2] - a[..., 2] * b[..., 1],
+                     a[..., 2] * b[..., 0] - a[..., 0] * b[..., 2],
+                     a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]], axis=-1)
+
+
+def norm3(a):
+    return np.sqrt(dot3(a, a))
+
+
+def normalize3(a):
+    return a / norm3(a)[..., None]
+
+
 # -- RNG (render.cl:143-163) ------------------------------------------------
 
 def rand_float(seed):
@@ -35,20 +62,20 @@ def rand_direction(seed):
     seed, y = rand_normal(seed)
     seed, z = rand_normal(seed)
     v = np.array([x, y, z], F)
-    return seed, v / np.linalg.norm(v).astype(F)
+    return seed, v / norm3(v)
 
 
 def rand_hemisphere(normal, seed):
     seed, d = rand_direction(seed)
-    return seed, d * np.sign(np.dot(normal, d)).astype(F)
+    return seed, d * np.sign(dot3(normal, d)).astype(F)
 
 
 # -- intersections (render.cl:180-290) ---------------------------------------
 
 def isect_sphere(center, radius, o, d):
     rc = center - o
-    b = np.dot(rc, d)
-    c = np.dot(rc, rc) - radius * radius
+    b = dot3(rc, d)
+    c = dot3(rc, rc) - radius * radius
     disc = b * b - c
     if disc < 0:
         return None
@@ -62,10 +89,10 @@ def isect_sphere(center, radius, o, d):
 
 
 def isect_plane(pos, n, o, d):
-    denom = np.dot(n, d)
+    denom = dot3(n, d)
     if abs(denom) == 0.0:
         return None
-    t = np.dot(n, pos - o) / denom
+    t = dot3(n, pos - o) / denom
     if t < 0:
         return None
     return F(t)
@@ -74,20 +101,20 @@ def isect_plane(pos, n, o, d):
 def isect_triangle(v0, v1, v2, o, d):
     e1 = v1 - v0
     e2 = v2 - v0
-    h = np.cross(d, e2)
-    a = np.dot(e1, h)
+    h = cross3(d, e2)
+    a = dot3(e1, h)
     if a == 0:
         return None
     f = F(1.0) / a
     s = o - v0
-    u = f * np.dot(s, h)
+    u = f * dot3(s, h)
     if u < 0 or u > 1:
         return None
-    q = np.cross(s, e1)
-    v = f * np.dot(d, q)
+    q = cross3(s, e1)
+    v = f * dot3(d, q)
     if v < 0 or u + v > 1:
         return None
-    t = f * np.dot(e2, q)
+    t = f * dot3(e2, q)
     if t > 0:
         return F(t)
     return None
@@ -97,11 +124,11 @@ def bary_weights(v0, v1, v2, p):
     a = v1 - v0
     b = v2 - v0
     c = p - v0
-    d00 = np.dot(a, a)
-    d01 = np.dot(a, b)
-    d11 = np.dot(b, b)
-    d20 = np.dot(c, a)
-    d21 = np.dot(c, b)
+    d00 = dot3(a, a)
+    d01 = dot3(a, b)
+    d11 = dot3(b, b)
+    d20 = dot3(c, a)
+    d21 = dot3(c, b)
     denom = d00 * d11 - d01 * d01
     w0 = (d11 * d20 - d01 * d21) / denom
     w1 = (d00 * d21 - d01 * d20) / denom
@@ -152,13 +179,13 @@ class OracleScene:
                 p = o + d * t
                 wx, wy, wz = bary_weights(verts[0], verts[1], verts[2], p)
                 n = norms[0] * wx + norms[1] * wy + norms[2] * wz
-                n = n / np.linalg.norm(n).astype(F)
+                n = n / norm3(n)
                 best = (n, m)
         if best is None:
             return None
         n, m = best
         p = o + d * best_t
-        front = np.dot(n, d) < 0.0
+        front = dot3(n, d) < 0.0
         if not front:
             n = -n
         return p, n, front, m
@@ -166,15 +193,15 @@ class OracleScene:
     def sky_color(self, d):
         s = self.sky
         sun_dir = np.array(s.sun_direction, F)
-        sun_cos = max(np.dot(d, -sun_dir), F(0.0))
+        sun_cos = max(dot3(d, -sun_dir), F(0.0))
         sun = (np.array(s.sun_color, F) * F(s.sun_intensity)
-               * F(sun_cos) ** F(s.sun_focus))
+               * np.power(F(sun_cos), F(s.sun_focus)))
         if self.skybox is None:
             # analytic gradient (render.cl:381-389)
             def smoothstep(e0, e1, x):
                 t = np.clip((x - e0) / (e1 - e0), 0.0, 1.0)
                 return F(t * t * (3.0 - 2.0 * t))
-            t = smoothstep(0.0, 0.4, d[1]) ** F(0.35)
+            t = np.power(smoothstep(0.0, 0.4, d[1]), F(0.35))
             horizon = np.array(s.horizon_color, F)
             zenith = np.array(s.zenith_color, F)
             ground = np.array(s.ground_color, F)
@@ -204,11 +231,11 @@ class OracleScene:
 def shlick(mu, cos_theta):
     r0 = (1.0 - mu) / (1.0 + mu)
     r0 = r0 * r0
-    return F(r0 + (1.0 - r0) * (1.0 - cos_theta) ** 5)
+    return F(r0 + (1.0 - r0) * np.power(1.0 - cos_theta, 5))
 
 
 def reflect(v, n):
-    return v - 2.0 * np.dot(v, n) * n
+    return v - 2.0 * dot3(v, n) * n
 
 
 def trace(osc, o, d, seed, num_bounces, show_normals=False):
@@ -231,7 +258,7 @@ def trace(osc, o, d, seed, num_bounces, show_normals=False):
         o = p
         seed, hemi = rand_hemisphere(n, seed)
         rd_sum = n + hemi
-        random_dir = (rd_sum / np.linalg.norm(rd_sum)).astype(F)
+        random_dir = (rd_sum / norm3(rd_sum)).astype(F)
         reflected = reflect(d, n).astype(F)
         seed, um = rand_float(seed)
         seed, us = rand_float(seed)
@@ -252,7 +279,7 @@ def trace(osc, o, d, seed, num_bounces, show_normals=False):
         else:
             in_dir = reflect(rough, n).astype(F)
             mu = F(1.0 / mat.refraction_index) if front else F(mat.refraction_index)
-            cos_t = min(F(1.0), np.dot(in_dir, -n))
+            cos_t = min(F(1.0), dot3(in_dir, -n))
             sin_t = np.sqrt(F(1.0) - cos_t * cos_t)
             if mu * sin_t > 1.0:
                 refl = True
@@ -263,11 +290,11 @@ def trace(osc, o, d, seed, num_bounces, show_normals=False):
                 d = rough
             else:
                 out_perp = mu * (in_dir + cos_t * n)
-                out_par = -np.sqrt(abs(F(1.0) - np.dot(out_perp, out_perp))) * n
+                out_par = -np.sqrt(abs(F(1.0) - dot3(out_perp, out_perp))) * n
                 d = (out_perp + out_par).astype(F)
                 mask = mask * np.array(mat.color, F)
-        d = (d / np.linalg.norm(d)).astype(F)
-        o = o + n * np.sign(np.dot(n, d)).astype(F) * F(0.001)
+        d = (d / norm3(d)).astype(F)
+        o = o + n * np.sign(dot3(n, d)).astype(F) * F(0.001)
     return color
 
 
@@ -292,9 +319,288 @@ def render(scene, camera, width, height, num_samples, num_bounces, time,
                 ndc_y = F((py + u2) / height)
                 sx = (2 * ndc_x - 1) * aspect * fov_scale
                 sy = (1 - 2 * ndc_y) * fov_scale
-                d = rot @ np.array([sx, sy, -1.0], F)
-                d = (d / np.linalg.norm(d)).astype(F)
+                v = np.array([sx, sy, -1.0], F)
+                d = np.array([dot3(rot[0], v), dot3(rot[1], v),
+                              dot3(rot[2], v)], F)
+                d = (d / norm3(d)).astype(F)
                 acc = acc + trace(osc, cam_pos.copy(), d, seed, num_bounces,
                                   show_normals)
             out[py, px] = acc / num_samples
     return out
+
+
+# -- vectorized oracle (bit-identical to the scalar form) ---------------------
+# One (R,) lane per ray, plain NumPy, same helper expressions as the scalar
+# path above so every f32 operation executes in the same order — render()
+# and render_vec() agree BIT-EXACTLY (tests/test_oracle_vec.py), which lets
+# PARITY.md run the oracle at the full 960x540 showcase resolution (the
+# scalar form is ~1000x too slow there).  Lane masking replaces the scalar
+# control flow; per-lane RNG streams advance exactly as the scalar ones do
+# (the one conditional draw, Schlick's ur at render.cl:452, is accepted
+# per-lane with np.where).
+
+def _rand_float_v(seed):
+    """rand_float over a (R,) uint32 lane array (render.cl:143-150)."""
+    seed = seed * np.uint32(747796405) + np.uint32(2891336453)
+    result = ((seed >> ((seed >> np.uint32(28)) + np.uint32(4))) ^ seed) \
+        * np.uint32(277803737)
+    result = (result >> np.uint32(22)) ^ result
+    return seed, result.astype(F) / F(0xFFFFFFFF)
+
+
+def _rand_normal_v(seed):
+    seed, u1 = _rand_float_v(seed)
+    seed, u2 = _rand_float_v(seed)
+    theta = F(2.0 * np.pi) * u1
+    rho = np.sqrt(F(-2.0) * np.log(u2))
+    return seed, (rho * np.cos(theta)).astype(F)
+
+
+def _rand_direction_v(seed):
+    seed, x = _rand_normal_v(seed)
+    seed, y = _rand_normal_v(seed)
+    seed, z = _rand_normal_v(seed)
+    v = np.stack([x, y, z], axis=-1)
+    return seed, v / norm3(v)[..., None]
+
+
+def _rand_hemisphere_v(normal, seed):
+    seed, d = _rand_direction_v(seed)
+    return seed, d * np.sign(dot3(normal, d)).astype(F)[..., None]
+
+
+def _reflect_v(v, n):
+    return v - (2.0 * dot3(v, n))[..., None] * n
+
+
+def _shlick_v(mu, cos_theta):
+    r0 = (1.0 - mu) / (1.0 + mu)
+    r0 = r0 * r0
+    return r0 + (1.0 - r0) * np.power(1.0 - cos_theta, 5)
+
+
+class OracleSceneVec(OracleScene):
+    """OracleScene plus stacked-array forms for the lane-vector path."""
+
+    def __init__(self, scene):
+        super().__init__(scene)
+        mats = self.materials
+        self.m_color = np.array([m.color for m in mats], F)
+        self.m_emission = np.array([m.emission for m in mats], F)
+        self.m_estrength = np.array([m.emission_strength for m in mats], F)
+        self.m_smooth = np.array([m.smoothness for m in mats], F)
+        self.m_metal = np.array([m.metallic for m in mats], F)
+        self.m_spec = np.array([m.specular for m in mats], F)
+        self.m_trans = np.array([m.transmittance for m in mats], F)
+        # the scalar path computes F(1.0 / ri) in float64 BEFORE the f32
+        # cast (oracle.trace, mirroring render.cl:441's host constants):
+        # precompute both castings from the f64 value
+        ri64 = np.array([m.refraction_index for m in mats], np.float64)
+        self.m_ri = ri64.astype(F)
+        self.m_ri_inv = (1.0 / ri64).astype(F)
+
+    def closest_vec(self, o, d):
+        """Vector form of closest(): strict-< first-wins updates in the
+        same shape order (spheres, planes, triangles)."""
+        R = o.shape[0]
+        best_t = np.full(R, np.inf, F)
+        best_n = np.zeros((R, 3), F)
+        best_m = np.zeros(R, np.int32)
+        hit = np.zeros(R, bool)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            for c, r, m in self.spheres:
+                rc = c[None, :] - o
+                b = dot3(rc, d)
+                cc = dot3(rc, rc) - r * r
+                disc = b * b - cc
+                sq = np.sqrt(np.maximum(disc, F(0.0)))
+                t1 = b - sq
+                t = np.where(t1 < 0, b + sq, t1)
+                valid = (disc >= 0) & (t >= 0) & (t < best_t)
+                p = o + d * t[:, None]
+                n = (p - c[None, :]) / r
+                best_t = np.where(valid, t, best_t)
+                best_n = np.where(valid[:, None], n, best_n)
+                best_m = np.where(valid, m, best_m)
+                hit |= valid
+            for pos, nrm, m in self.planes:
+                denom = dot3(nrm[None, :], d)
+                t = dot3(nrm, pos - o) / denom
+                valid = (np.abs(denom) != 0.0) & (t >= 0) & (t < best_t)
+                best_t = np.where(valid, t, best_t)
+                best_n = np.where(valid[:, None], nrm[None, :], best_n)
+                best_m = np.where(valid, m, best_m)
+                hit |= valid
+            for verts, norms, m in self.tris:
+                v0, v1, v2 = verts
+                e1 = v1 - v0
+                e2 = v2 - v0
+                h = cross3(d, e2[None, :])
+                a = dot3(e1[None, :], h)
+                f = F(1.0) / a
+                s = o - v0[None, :]
+                u = f * dot3(s, h)
+                q = cross3(s, e1[None, :])
+                v = f * dot3(d, q)
+                t = f * dot3(e2[None, :], q)
+                valid = ((a != 0) & (u >= 0) & (u <= 1) & (v >= 0)
+                         & (u + v <= 1) & (t > 0) & (t < best_t))
+                if not valid.any():
+                    continue
+                p = o + d * t[:, None]
+                wx, wy, wz = bary_weights(v0[None, :], v1[None, :],
+                                          v2[None, :], p)
+                n = (norms[0][None, :] * wx[:, None]
+                     + norms[1][None, :] * wy[:, None]
+                     + norms[2][None, :] * wz[:, None])
+                n = n / norm3(n)[:, None]
+                best_t = np.where(valid, t, best_t)
+                best_n = np.where(valid[:, None], n, best_n)
+                best_m = np.where(valid, m, best_m)
+                hit |= valid
+        p = o + d * best_t[:, None]
+        front = dot3(best_n, d) < 0.0
+        n = np.where(front[:, None], best_n, -best_n)
+        return hit, p, n, front, best_m
+
+    def sky_color_vec(self, d):
+        s = self.sky
+        sun_dir = np.array(s.sun_direction, F)
+        sun_cos = np.maximum(dot3(d, -sun_dir[None, :]), F(0.0))
+        sun = ((np.array(s.sun_color, F) * F(s.sun_intensity))[None, :]
+               * np.power(sun_cos, F(s.sun_focus))[:, None])
+        if self.skybox is None:
+            def smoothstep(e0, e1, x):
+                t = np.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+                return (t * t * (3.0 - 2.0 * t)).astype(F)
+            t = np.power(smoothstep(0.0, 0.4, d[:, 1]), F(0.35))
+            horizon = np.array(s.horizon_color, F)
+            zenith = np.array(s.zenith_color, F)
+            ground = np.array(s.ground_color, F)
+            grad = horizon[None, :] + (zenith - horizon)[None, :] * t[:, None]
+            g2s = smoothstep(-0.01, 0.0, d[:, 1])
+            out = ground[None, :] + (grad - ground[None, :]) * g2s[:, None]
+            return (out + np.where((g2s >= 1.0)[:, None], sun, F(0.0))
+                    ).astype(F)
+        u = np.arctan2(d[:, 2], d[:, 0]) / F(np.pi) * F(0.5) + F(0.5)
+        v = d[:, 1] * F(0.5) + F(0.5)
+        h, w = self.skybox.shape[:2]
+        fx = u * w - 0.5
+        fy = v * h - 0.5
+        x0f = np.floor(fx)
+        y0f = np.floor(fy)
+        ax = (fx - x0f)[:, None]
+        ay = (fy - y0f)[:, None]
+        x0 = x0f.astype(np.int64)
+        y0 = y0f.astype(np.int64)
+        x0c = np.clip(x0, 0, w - 1)
+        x1c = np.clip(x0 + 1, 0, w - 1)
+        y0c = np.clip(y0, 0, h - 1)
+        y1c = np.clip(y0 + 1, 0, h - 1)
+        img = self.skybox
+        top = img[y0c, x0c] * (1 - ax) + img[y0c, x1c] * ax
+        bot = img[y1c, x0c] * (1 - ax) + img[y1c, x1c] * ax
+        return (top * (1 - ay) + bot * ay).astype(F) + sun
+
+
+def trace_vec(osc, o, d, seed, num_bounces, show_normals=False):
+    """Lane-vector trace: (R,3) o/d, (R,) uint32 seeds; mirrors trace()
+    (render.cl:396-471) with masks replacing control flow."""
+    R = o.shape[0]
+    color = np.zeros((R, 3), F)
+    mask = np.ones((R, 3), F)
+    alive = np.ones(R, bool)
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        for i in range(num_bounces):
+            hit, p, n, front, mi = osc.closest_vec(o, d)
+            if show_normals:
+                out = (n * F(0.5) + F(0.5)).astype(F)
+                sky = osc.sky_color_vec(d)
+                return np.where(hit[:, None], out, sky)
+            miss = alive & ~hit
+            if miss.any():
+                sky = osc.sky_color_vec(d[miss])
+                color[miss] = color[miss] + mask[miss] * sky
+            alive = alive & hit
+            if not alive.any():
+                break
+            em = ((mask * osc.m_emission[mi]) * osc.m_estrength[mi][:, None])
+            color = np.where(alive[:, None], color + em, color)
+            if i == num_bounces - 1:
+                break
+            seed, hemi = _rand_hemisphere_v(n, seed)
+            rd_sum = n + hemi
+            random_dir = (rd_sum / norm3(rd_sum)[:, None]).astype(F)
+            reflected = _reflect_v(d, n).astype(F)
+            seed, um = _rand_float_v(seed)
+            seed, us = _rand_float_v(seed)
+            is_metal = osc.m_metal[mi] > um
+            is_spec = osc.m_spec[mi] > us
+            rough = random_dir + (reflected - random_dir) \
+                * osc.m_smooth[mi][:, None]
+            seed, ut = _rand_float_v(seed)
+            is_trans = osc.m_trans[mi] > ut
+            # non-transmissive arm (render.cl:425-437)
+            d_nt = np.where((is_metal | is_spec)[:, None], rough, random_dir)
+            mask_nt = np.where(is_spec[:, None], mask,
+                               mask * osc.m_color[mi])
+            # transmissive arm (render.cl:438-462)
+            in_dir = _reflect_v(rough, n).astype(F)
+            mu = np.where(front, osc.m_ri_inv[mi], osc.m_ri[mi])
+            cos_t = np.minimum(F(1.0), dot3(in_dir, -n))
+            sin_t = np.sqrt(F(1.0) - cos_t * cos_t)
+            tir = mu * sin_t > 1.0
+            # the ONE conditional RNG draw: ur is consumed only by
+            # transmissive non-TIR lanes, so only those lanes accept the
+            # advanced seed (render.cl:452)
+            seed_adv, ur = _rand_float_v(seed)
+            need_ur = is_trans & ~tir & alive
+            seed = np.where(need_ur, seed_adv, seed)
+            refl = tir | (_shlick_v(mu, cos_t) > ur)
+            out_perp = mu[:, None] * (in_dir + cos_t[:, None] * n)
+            out_par = -np.sqrt(np.abs(F(1.0) - dot3(out_perp, out_perp))
+                               )[:, None] * n
+            d_refr = (out_perp + out_par).astype(F)
+            d_tr = np.where(refl[:, None], rough, d_refr)
+            mask_tr = np.where(refl[:, None], mask, mask * osc.m_color[mi])
+            nd = np.where(is_trans[:, None], d_tr, d_nt)
+            nm = np.where(is_trans[:, None], mask_tr, mask_nt)
+            nd = (nd / norm3(nd)[:, None]).astype(F)
+            no = p + n * np.sign(dot3(n, nd)).astype(F)[:, None] * F(0.001)
+            d = np.where(alive[:, None], nd, d)
+            o = np.where(alive[:, None], no, o)
+            mask = np.where(alive[:, None], nm, mask)
+    return color
+
+
+def render_vec(scene, camera, width, height, num_samples, num_bounces,
+               time, show_normals=False):
+    """Vector form of render() (render.cl:483-523): same image, computed
+    one sample-plane at a time over all pixels at once.  Sample planes
+    accumulate sequentially so the f32 addition order matches the scalar
+    per-pixel loop."""
+    osc = OracleSceneVec(scene)
+    rot = np.asarray(camera.rotation_matrix(), F)
+    cam_pos = np.array(camera.position, F)
+    aspect = F(width / height)
+    fov_scale = F(camera.fov_scale)
+    px = np.tile(np.arange(width, dtype=F), height)
+    py = np.repeat(np.arange(height, dtype=F), width)
+    pid = np.arange(width * height, dtype=np.uint64)
+    acc = np.zeros((width * height, 3), F)
+    for s in range(num_samples):
+        seed0 = ((np.uint64(s) + pid * np.uint64(num_samples))
+                 * np.uint64(time) * np.uint64(5304)).astype(np.uint32)
+        seed, u1 = _rand_float_v(seed0)
+        seed, u2 = _rand_float_v(seed)
+        ndc_x = (px + u1) / width
+        ndc_y = (py + u2) / height
+        sx = (2 * ndc_x - 1) * aspect * fov_scale
+        sy = (1 - 2 * ndc_y) * fov_scale
+        v = np.stack([sx, sy, np.full_like(sx, F(-1.0))], axis=-1)
+        d = np.stack([dot3(rot[0][None, :], v), dot3(rot[1][None, :], v),
+                      dot3(rot[2][None, :], v)], axis=-1)
+        d = (d / norm3(d)[:, None]).astype(F)
+        o = np.broadcast_to(cam_pos, d.shape).copy()
+        acc = acc + trace_vec(osc, o, d, seed, num_bounces, show_normals)
+    return (acc / num_samples).reshape(height, width, 3)
