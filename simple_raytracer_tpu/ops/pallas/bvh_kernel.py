@@ -288,30 +288,104 @@ def _mt_update(tile, rays, t_scr, idx_scr, attr_scr, with_attrs):
 _SUPER = 16     # clusters per supercluster (the HBM path's coarse level);
                 # 16 bits sum exactly in f32 (max 65535 < 2^24)
 
+_SUB = 128      # rays per MT sub-block (one lane group — the finest
+                # granularity static lane slicing allows)
 
-def _kernel_hbm(visit, count, order, rays, table_hbm, aabb, out,
-                t_scr, idx_scr, attr_scr, lst, buf, sems, *, block_l,
-                n_clusters, with_attrs):
+
+def _mt_update_sub(tile, rays, t_scr, idx_scr, attr_scr, t_sub, s,
+                   with_attrs):
+    """_mt_update restricted to sub-block s's 128-lane ray slice.
+
+    `s` must be a python int (static slices keep every lane access
+    128-aligned).  Also mirrors the tightened t into the (SB, 128)
+    sub-layout scratch so later sub-slab words see the live bound."""
+    sl = slice(s * _SUB, (s + 1) * _SUB)
+    rox = rays[0:1, sl]
+    roy = rays[1:2, sl]
+    roz = rays[2:3, sl]
+    rdx = rays[3:4, sl]
+    rdy = rays[4:5, sl]
+    rdz = rays[5:6, sl]
+    tl = lambda j: tile[:, j:j + 1]                    # (K, 1)
+    e1x, e1y, e1z = tl(3), tl(4), tl(5)
+    e2x, e2y, e2z = tl(6), tl(7), tl(8)
+    act = tl(19)
+    gidx = tl(20)
+
+    hx = rdy * e2z - rdz * e2y
+    hy = rdz * e2x - rdx * e2z
+    hz = rdx * e2y - rdy * e2x
+    a = e1x * hx + e1y * hy + e1z * hz
+    f = 1.0 / a
+    sx = rox - tl(0)
+    sy = roy - tl(1)
+    sz = roz - tl(2)
+    u = f * (sx * hx + sy * hy + sz * hz)
+    qx = sy * e1z - sz * e1y
+    qy = sz * e1x - sx * e1z
+    qz = sx * e1y - sy * e1x
+    v = f * (rdx * qx + rdy * qy + rdz * qz)
+    t = f * (e2x * qx + e2y * qy + e2z * qz)
+    valid = (
+        (a != 0.0)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 0.0)
+        & (act > 0.0)
+    )
+    t = jnp.where(valid, t, jnp.inf)
+    local_t = jnp.min(t, axis=0, keepdims=True)        # (1, 128)
+    local_if = jnp.min(jnp.where(t == local_t, gidx, jnp.float32(2e9)),
+                       axis=0, keepdims=True)
+    better = local_t < t_scr[0:1, sl]
+    t_new = jnp.where(better, local_t, t_scr[0:1, sl])
+    t_scr[0:1, sl] = t_new
+    t_sub[s:s + 1, :] = t_new
+    idx_scr[0:1, sl] = jnp.where(better, local_if.astype(jnp.int32),
+                                 idx_scr[0:1, sl])
+    if with_attrs:
+        sel = jnp.where((t == local_t) & (gidx == local_if), 1.0, 0.0)
+        new_attr = jax.lax.dot_general(
+            tile[:, 0:_N_ATTRS], sel, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (19, 128)
+        attr_scr[:, sl] = jnp.where(better, new_attr, attr_scr[:, sl])
+
+
+def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
+                out, t_scr, idx_scr, attr_scr, t_sub, lst, buf,
+                sems, *, block_l, n_clusters, with_attrs, n_sub):
     """HBM-table variant for meshes too large for VMEM residence.
 
-    Two-level culling: the XLA prepass gates SUPERCLUSTERS (groups of
-    _SUPER clusters — a (C, R) per-ray slab at 82K triangles costs
-    ~16 ms/bounce, a (C/16, R) one ~1 ms), and for each visited
-    supercluster the kernel slab-tests its children at full lane width
-    in (16, BR) orientation against the running best t.  The per-child
-    hit flags leave vector-land as one exact f32 sum of powers of two
-    (Mosaic cannot scalar-read VMEM vectors), and the set bits append
-    their cluster ids to an SMEM list.  The list is then streamed with
-    double-buffered DMA — the next tile's fetch overlaps the current
-    tile's Moller-Trumbore, hiding the ~2 us per-copy latency that
-    throttled the round-1 DMA kernel.
+    THREE-level culling, each level finer than the last:
+
+    1. The XLA prepass gates SUPERCLUSTERS (groups of _SUPER clusters —
+       a (C, R) per-ray slab at 82K triangles costs ~16 ms/bounce, a
+       (C/16, R) one ~1 ms) per ray block.
+    2. For each visited supercluster the kernel slab-tests its children
+       at full lane width in (16, BR) orientation against the running
+       best t; the per-child hit flags leave vector-land as one exact
+       f32 sum of powers of two (Mosaic cannot scalar-read VMEM
+       vectors), and the set bits append their cluster ids to an SMEM
+       list.  The list is then streamed with double-buffered DMA — the
+       next tile's fetch overlaps the current tile's Moller-Trumbore.
+    3. At DMA-issue time each listed cluster is re-slabbed per 128-lane
+       SUB-BLOCK against the LIVE best t (`_sub_word`, using the (F*SB,
+       128) transposed ray layout prepared in XLA), and Moller-Trumbore
+       runs ONLY on the sub-blocks whose bit is set.  Secondary-bounce
+       rays are direction-incoherent, so the union of clusters a
+       1536-ray block must visit is far larger than what any 128 rays
+       need: per-sub-block gating cuts the intersected lanes by the
+       coherence ratio (up to 12x for the sparse late bounces where a
+       block has a handful of live rays).  Bit-identical results — a
+       skipped sub-block provably has no slab interval under the live
+       bound, so no closer hit exists there.
 
     Superclusters are scanned in the global front-to-back `order`, so
-    the SMEM list comes out approximately depth-sorted, and each
-    cluster's box is re-slabbed against the LIVE best t when its DMA
-    would be issued — tiles behind hits found earlier in the list are
-    neither fetched nor intersected (the carried per-slot flag keeps the
-    skip decision and the MT gate consistent across the pipeline)."""
+    the SMEM list comes out approximately depth-sorted and the live-t
+    re-slab skips (and never fetches) tiles behind hits found earlier
+    in the list (the carried per-slot word keeps the skip decision and
+    the MT gate consistent across the DMA pipeline)."""
     b = pl.program_id(0)
     t_scr[...] = rays[7:8, :]
     idx_scr[...] = jnp.full(idx_scr.shape, -1, jnp.int32)
@@ -325,6 +399,48 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, aabb, out,
     iny = 1.0 / rays[4:5, :]
     inz = 1.0 / rays[5:6, :]
     live = rays[6:7, :] > 0.0
+
+    # per-sub-block ray rows in (field * SB + s, 128) layout: origins,
+    # 1/direction, live mask, and the LIVE best t (t_sub scratch, kept
+    # in sync by _mt_update_sub)
+    rs = rays_sub[...]
+    sb = lambda f: rs[f * n_sub:(f + 1) * n_sub, :]    # (SB, 128)
+    sox, soy, soz = sb(0), sb(1), sb(2)
+    six = 1.0 / sb(3)
+    siy = 1.0 / sb(4)
+    siz = 1.0 / sb(5)
+    slive = sb(6) > 0.0
+    t_sub[...] = sb(7)
+    pow2 = (2.0 ** jax.lax.broadcasted_iota(
+        jnp.int32, (n_sub, 1), 0).astype(jnp.float32))
+
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (_SUPER, 1), 0)
+
+    def _sub_word(c):
+        """Slab cluster c against every ray in the (SB, 128) layout under
+        the live per-sub-block t bound; one i32 word whose bit s gates
+        sub-block s's Moller-Trumbore.  Box coords come out of the VMEM
+        aabb as one-hot masked reductions (dynamic sublane reads must be
+        group-aligned; a (16, 1) reduce to scalar is ~free)."""
+        g0 = (c // _SUPER) * _SUPER
+        tile = aabb[pl.ds(pl.multiple_of(g0, _SUPER), _SUPER), :]
+        onehot = jnp.where(iota16 == c % _SUPER, 1.0, 0.0)
+        bx = lambda k: jnp.sum(tile[:, k:k + 1] * onehot)
+        t1x = (bx(0) - sox) * six
+        t2x = (bx(3) - sox) * six
+        t1y = (bx(1) - soy) * siy
+        t2y = (bx(4) - soy) * siy
+        t1z = (bx(2) - soz) * siz
+        t2z = (bx(5) - soz) * siz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.minimum(t1y, t2y)),
+                           jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                      jnp.maximum(t1y, t2y)),
+                          jnp.minimum(jnp.maximum(t1z, t2z), t_sub[...]))
+        maybe = jnp.logical_not(near >= far) & slive   # (SB, 128)
+        flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
+        return jnp.sum(flags * pow2).astype(jnp.int32)
 
     n_super = n_clusters // _SUPER
 
@@ -357,10 +473,6 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, aabb, out,
                      lambda _: jax.lax.fori_loop(0, n_super, scan_super, 0),
                      lambda _: 0, 0)
 
-    def reslab(j):
-        return _reslab_flag(lst[0, j], aabb, rox, roy, roz, inx, iny, inz,
-                            live, t_scr, group=_SUPER)
-
     def dma(j, slot):
         c = lst[0, j]
         row0 = pl.multiple_of(c * block_l, block_l)
@@ -370,31 +482,36 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, aabb, out,
 
     @pl.when(n > 0)
     def _():
-        hit0 = reslab(0)
+        word0 = _sub_word(lst[0, 0])
 
-        @pl.when(hit0 > 0)
+        @pl.when(word0 != 0)
         def _():
             dma(0, 0).start()
 
-        def process(j, prev_hit):
+        def process(j, prev_word):
             # issue DMA for j+1 only if its box still beats the live t
             # (t has tightened through MT of tiles < j); skipping here is
-            # safe because the MT gate below reuses THIS decision
-            next_hit = jax.lax.cond(j + 1 < n, lambda: reslab(j + 1),
-                                    lambda: jnp.int32(0))
+            # safe because the MT gate below reuses THIS word
+            next_word = jax.lax.cond(j + 1 < n,
+                                     lambda: _sub_word(lst[0, j + 1]),
+                                     lambda: jnp.int32(0))
 
-            @pl.when(next_hit > 0)
+            @pl.when(next_word != 0)
             def _():
                 dma(j + 1, (j + 1) % 2).start()
 
-            @pl.when(prev_hit > 0)
+            @pl.when(prev_word != 0)
             def _():
                 dma(j, j % 2).wait()
-                _mt_update(buf[j % 2], rays, t_scr, idx_scr, attr_scr,
-                           with_attrs)
-            return next_hit
+                tile = buf[j % 2]
+                for s in range(n_sub):
+                    @pl.when(((prev_word >> s) & 1) > 0)
+                    def _(s=s):
+                        _mt_update_sub(tile, rays, t_scr, idx_scr,
+                                       attr_scr, t_sub, s, with_attrs)
+            return next_word
 
-        jax.lax.fori_loop(0, n, process, hit0)
+        jax.lax.fori_loop(0, n, process, word0)
 
     no_win = idx_scr[...] < 0
     t_out = jnp.where(no_win, jnp.float32(jnp.inf), t_scr[...])
@@ -505,16 +622,24 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         visits, counts = _visit_prepass(o, d, alive, t_init, super_aabb,
                                         block_r, pad_r)
         order = front_to_back(super_aabb)
+        n_sub = block_r // _SUB
         kernel = functools.partial(_kernel_hbm, block_l=block_l,
                                    n_clusters=c_pad,
-                                   with_attrs=with_attrs)
-        extra_in = [aabb_pad]
+                                   with_attrs=with_attrs, n_sub=n_sub)
+        # (field * SB + s, 128) transposed ray layout for the per-sub-
+        # block slab words (fields: o.xyz, d.xyz, alive, t_init)
+        rays_sub = (rays.reshape(8, rp // block_r, n_sub, _SUB)
+                    .transpose(0, 2, 1, 3).reshape(8 * n_sub, -1))
+        extra_in = [rays_sub, aabb_pad]
         extra_specs = [
             pl.BlockSpec(memory_space=pl.ANY),         # table in HBM
+            pl.BlockSpec((8 * n_sub, _SUB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),     # sub-layout rays
             pl.BlockSpec((c_pad, 8), lambda i: (0, 0),    # child boxes
                          memory_space=pltpu.VMEM),
         ]
         scratch += [
+            pltpu.VMEM((n_sub, _SUB), jnp.float32),       # live t, sub layout
             pltpu.SMEM((1, c_pad), jnp.int32),            # visit list
             pltpu.VMEM((2, block_l, table_t.shape[1]),
                        jnp.float32),                      # double buffer
