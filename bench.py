@@ -35,7 +35,7 @@ def bench_config(n: int, width=1920, height=1080, samples=1, bounces=4,
 
 def main():
     per_config = {}
-    for n in (1, 2, 3, 4, 5):
+    for n in (1, 2, 3, 4, 5, 6):
         per_config[f"config{n}"] = bench_config(n)
 
     headline = per_config["config2"]

@@ -19,7 +19,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native progressive path tracer")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--scene", help="scene JSON file (io.scene_json format)")
-    src.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5],
+    from .models.presets import CONFIGS
+    src.add_argument("--config", type=int, choices=sorted(CONFIGS),
                      help="built-in BASELINE config number")
     p.add_argument("--out", default="out.png", help="output image (.png/.ppm)")
     p.add_argument("--width", type=int, default=None)

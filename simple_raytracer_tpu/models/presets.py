@@ -174,10 +174,33 @@ def config5_two_meshes(width: int = 960, height: int = 540,
     return scene, camera, options
 
 
+def config6_large_mesh(width: int = 960, height: int = 540,
+                       mesh_path: Optional[str] = None,
+                       subdivisions: int = 6) -> tuple:
+    """Large-mesh stress config: one ~131K-triangle organic sculpt on a
+    ground plane (table far beyond VMEM residence — exercises the
+    HBM/DMA streaming BVH path that big production assets take).  The
+    reference brute-forces every triangle per ray (render.cl:316-331);
+    this config is the scale where that architecture collapses and a
+    hierarchy is mandatory."""
+    scene = Scene()
+    scene.add_plane((0, -1.2, 0), (0, 1, 0), material=0)
+    m = scene.add_material(
+        Material(color=(0.8, 0.7, 0.6), smoothness=0.3), "Clay")
+    span = _add_mesh(scene, mesh_path, subdivisions=subdivisions)
+    scene.add_model(span, material=m,
+                    transform=transform_trs((0, 0, -2.5)))
+    camera = Camera(position=(0.0, 0.3, 2.5))
+    options = RenderOptions(width=width, height=height, num_samples=2,
+                            num_bounces=6)
+    return scene, camera, options
+
+
 CONFIGS = {
     1: config1_red_green,
     2: config2_four_spheres,
     3: config3_skybox_emissive,
     4: config4_mesh_glass,
     5: config5_two_meshes,
+    6: config6_large_mesh,
 }

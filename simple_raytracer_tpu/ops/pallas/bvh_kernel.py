@@ -527,15 +527,64 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
 VMEM_TABLE_MAX_SLOTS = 8192
 
 
+def _sort_rays_by_super(o, d, alive, t_init, super_aabb, order):
+    """Per-ray sort key: the front-to-back RANK of the first supercluster
+    the ray's slab interval touches (misses and dead rays sort last).
+
+    Rays are direction-incoherent after the first bounce, so the union
+    of clusters a 1536-ray pixel-order block must visit dwarfs what any
+    single ray needs (measured on a 131K-tri scene: bounce-1 needs 166K
+    ray-cluster pairs but block-granularity packets pay 37K block-cluster
+    visits = 3.6G MT lanes, a 340x inflation).  Sorting by first-hit
+    super gathers the hitting rays into a few spatially-coherent blocks
+    and compacts every all-miss ray into blocks the kernel's count==0
+    gate skips outright.  A pure permutation — intersection winners are
+    order-independent (global t with index tie-break).
+
+    MEASURED AND REJECTED as a default (scripts/bench_sort_ab.py,
+    config 6 at 1080p on v5e): sorted 4.6 Mrays/s vs unsorted 60.9 — the
+    sort itself costs ~1.7 s/step because a 2M-element argsort plus ~28
+    rows of lane-axis jnp.take (8 ray rows in, 20 result rows out, per
+    bounce) lower element-serial on TPU, the exact pattern ops/gather.py
+    documents.  The visit savings it buys (~3x fewer block-cluster
+    visits on bounce 1) are worth ~50 ms; the permute costs 35x that.
+    Kept behind sort_rays=False for regression hunts; a viable revival
+    needs the permute itself to be a Pallas DMA kernel, not XLA takes."""
+    n_super = super_aabb.shape[0]
+    pad = lambda v: v[None]
+    inx = 1.0 / pad(d.x)
+    iny = 1.0 / pad(d.y)
+    inz = 1.0 / pad(d.z)
+    col = lambda j: super_aabb[:, j][:, None]
+    t1x = (col(0) - pad(o.x)) * inx
+    t2x = (col(3) - pad(o.x)) * inx
+    t1y = (col(1) - pad(o.y)) * iny
+    t2y = (col(4) - pad(o.y)) * iny
+    t1z = (col(2) - pad(o.z)) * inz
+    t2z = (col(5) - pad(o.z)) * inz
+    near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                   jnp.minimum(t1y, t2y)),
+                       jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
+    far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                  jnp.maximum(t1y, t2y)),
+                      jnp.minimum(jnp.maximum(t1z, t2z), pad(t_init)))
+    maybe = jnp.logical_not(near >= far) & (pad(alive) > 0.0)   # (S, R)
+    rank = jnp.zeros((n_super,), jnp.int32).at[order].set(
+        jnp.arange(n_super, dtype=jnp.int32))
+    key = jnp.min(jnp.where(maybe, rank[:, None], n_super), axis=0)
+    return jnp.argsort(key)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_r", "interpret", "with_attrs",
-                                    "hbm_table"))
+                                    "hbm_table", "sort_rays"))
 def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             t_init: jnp.ndarray, aabb: jnp.ndarray,
                             table_t: jnp.ndarray, block_r: int = 1536,
                             interpret: bool = False,
                             with_attrs: bool = False,
-                            hbm_table: Optional[bool] = None):
+                            hbm_table: Optional[bool] = None,
+                            sort_rays: Optional[bool] = None):
     """(R,) rays x clustered triangles -> nearest-hit per ray.
 
     `alive`: (R,) f32 mask — dead rays generate no cluster visits.
@@ -554,6 +603,8 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     n_out = 2 + (_N_ATTRS if with_attrs else 0)
     if hbm_table is None:
         hbm_table = table_t.shape[0] > VMEM_TABLE_MAX_SLOTS
+    if sort_rays is None:
+        sort_rays = False   # measured 13x SLOWER when on — see docstring
 
     # Mosaic charges ~0.5 KB of scoped SMEM per grid step and v5e SMEM is
     # 1 MB, so one call is capped at ~1600 blocks; larger ray batches run
@@ -570,20 +621,10 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                 Vec3(d.x[sl], d.y[sl], d.z[sl]),
                 alive[sl], t_init[sl], aabb, table_t,
                 block_r=block_r, interpret=interpret,
-                with_attrs=with_attrs, hbm_table=hbm_table))
+                with_attrs=with_attrs, hbm_table=hbm_table,
+                sort_rays=sort_rays))
         return tuple(jnp.concatenate([p[i] for p in parts], axis=-1)
                      for i in range(len(parts[0])))
-
-    pad_r = (-n_rays) % block_r
-
-    def row(c, fill=0.0):
-        return jnp.pad(c, (0, pad_r), constant_values=fill)
-
-    rays = jnp.stack([row(o.x), row(o.y), row(o.z), row(d.x), row(d.y),
-                      row(d.z), row(alive), row(t_init)], axis=0)
-
-    rp = n_rays + pad_r
-    grid = (rp // block_r,)
 
     def front_to_back(boxes8):
         """Global cluster order: ascending box-center distance from the
@@ -598,16 +639,11 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         d2 = jnp.sum((centers - origin[None, :]) ** 2, axis=1)
         return jnp.argsort(d2).astype(jnp.int32)
 
-    scratch = [
-        pltpu.VMEM((1, block_r), jnp.float32),
-        pltpu.VMEM((1, block_r), jnp.int32),
-        pltpu.VMEM((_N_ATTRS if with_attrs else 1, block_r), jnp.float32),
-    ]
+    super_aabb = order = None
     if hbm_table:
-        # HBM path: the XLA prepass gates SUPERCLUSTERS (groups of
-        # _SUPER); the kernel refines to children.  Pad the cluster list
-        # to a _SUPER multiple with point-at-infinity sentinel boxes
-        # (lo = hi = 3e38 misses every slab test for every ray sign).
+        # Pad the cluster list to a _SUPER multiple with point-at-
+        # infinity sentinel boxes (lo = hi = 3e38 misses every slab test
+        # for every ray sign) and bound each group of _SUPER children.
         c_pad = ((n_clusters + _SUPER - 1) // _SUPER) * _SUPER
         sent = jnp.full((c_pad - n_clusters, 8), 3.0e38, jnp.float32
                         ).at[:, 6:].set(0.0)
@@ -619,9 +655,45 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         super_aabb = jnp.concatenate(
             [lo.min(axis=1), hi.max(axis=1),
              jnp.zeros((c_pad // _SUPER, 2), jnp.float32)], axis=1)
+        order = front_to_back(super_aabb)
+
+    inv_perm = None
+    if sort_rays and hbm_table:
+        perm = _sort_rays_by_super(o, d, alive, t_init, super_aabb, order)
+        inv_perm = jnp.zeros((n_rays,), jnp.int32).at[perm].set(
+            jnp.arange(n_rays, dtype=jnp.int32))
+        take = lambda v: jnp.take(v, perm, axis=0)
+        o = Vec3(take(o.x), take(o.y), take(o.z))
+        d = Vec3(take(d.x), take(d.y), take(d.z))
+        alive = take(alive)
+        t_init = take(t_init)
+
+    pad_r = (-n_rays) % block_r
+
+    def row(c, fill=0.0):
+        return jnp.pad(c, (0, pad_r), constant_values=fill)
+
+    rays = jnp.stack([row(o.x), row(o.y), row(o.z), row(d.x), row(d.y),
+                      row(d.z), row(alive), row(t_init)], axis=0)
+
+    rp = n_rays + pad_r
+    grid = (rp // block_r,)
+
+    scratch = [
+        pltpu.VMEM((1, block_r), jnp.float32),
+        pltpu.VMEM((1, block_r), jnp.int32),
+        pltpu.VMEM((_N_ATTRS if with_attrs else 1, block_r), jnp.float32),
+    ]
+    if hbm_table:
+        # HBM path: the XLA prepass gates SUPERCLUSTERS (groups of
+        # _SUPER, boxes built above); the kernel refines to children.
+        c_pad = super_aabb.shape[0] * _SUPER
+        aabb_pad = jnp.concatenate(
+            [aabb, jnp.full((c_pad - n_clusters, 8), 3.0e38, jnp.float32
+                            ).at[:, 6:].set(0.0)]) \
+            if c_pad > n_clusters else aabb
         visits, counts = _visit_prepass(o, d, alive, t_init, super_aabb,
                                         block_r, pad_r)
-        order = front_to_back(super_aabb)
         n_sub = block_r // _SUB
         kernel = functools.partial(_kernel_hbm, block_l=block_l,
                                    n_clusters=c_pad,
@@ -684,8 +756,17 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         interpret=interpret,
     )(visits, counts, order, rays, table_t, *extra_in)
 
-    t_best = out[0, :n_rays]
-    idx = jax.lax.bitcast_convert_type(out[1, :n_rays], jnp.int32)
+    res = out[:, :n_rays]
+    if inv_perm is not None:
+        # Undo the coherence sort: results return in caller ray order.
+        # Gather as int32 bits — row 1 is an int32 index bitcast into the
+        # f32 output (idx -1 = 0xFFFFFFFF, a NaN payload that a float
+        # gather would canonicalize to 0x7FC00000 and destroy).
+        bits = jax.lax.bitcast_convert_type(res, jnp.int32)
+        res = jax.lax.bitcast_convert_type(
+            jnp.take(bits, inv_perm, axis=1), jnp.float32)
+    t_best = res[0]
+    idx = jax.lax.bitcast_convert_type(res[1], jnp.int32)
     if with_attrs:
-        return t_best, idx, out[2:, :n_rays]
+        return t_best, idx, res[2:]
     return t_best, idx

@@ -152,6 +152,37 @@ def test_hbm_variant_matches_vmem(with_attrs):
     assert (np.asarray(a[1]) >= 0).any()   # some triangle wins exercised
 
 
+@pytest.mark.parametrize("sort_rays", [False, True])
+def test_hbm_sorted_compaction_matches_unsorted(sort_rays):
+    """The per-bounce coherence sort (sort rays by first-hit supercluster
+    rank, run the kernel on the permuted batch, unsort the outputs) is a
+    pure permutation: LIVE rays get identical results in caller ray order
+    either way, including winner attributes.  Dead rays are compared only
+    for the no-spurious-win contract: `alive` gates visit generation at
+    block granularity, so an unsorted dead ray sharing a block with live
+    rays may incidentally report a hit, while the sort compacts dead rays
+    into skipped blocks — callers ignore dead-ray outputs either way."""
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    o, d = _rays(640, seed=11)
+    alive = (jnp.arange(640) % 5 != 0).astype(jnp.float32)  # some dead
+    t_init = jnp.where(jnp.arange(640) % 7 == 0, 2.0, jnp.inf)
+    base = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                   cl.table_t, block_r=128, interpret=True,
+                                   with_attrs=True, hbm_table=False)
+    got = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                  cl.table_t, block_r=128, interpret=True,
+                                  with_attrs=True, hbm_table=True,
+                                  sort_rays=sort_rays)
+    live = np.asarray(alive) > 0
+    for x, y in zip(base, got):
+        np.testing.assert_array_equal(np.asarray(x)[..., live],
+                                      np.asarray(y)[..., live])
+    # dead rays: idx decodes cleanly (no NaN-canonicalization corruption)
+    dead_idx = np.asarray(got[1])[~live]
+    assert ((dead_idx == -1) | (dead_idx >= 0)).all()
+
+
 def test_hbm_variant_with_t_init_and_dead_rays():
     ds = _mesh_scene()
     cl = ds.triangles.clusters
