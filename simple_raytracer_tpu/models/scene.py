@@ -315,8 +315,20 @@ class Scene:
             table_t[:, 18] = mat[si].reshape(-1).astype(np.float32)
             table_t[:, 19] = valid.reshape(-1).astype(np.float32)
             table_t[:, 20] = si.reshape(-1).astype(np.float32)
+            # packed transposed copy for the HBM streaming kernel: one
+            # (24, 128) tile per cluster, attributes on sublanes and the
+            # K triangles on lanes — 96 B/triangle per DMA instead of the
+            # row layout's 512 (bvh_kernel._TROWS documents the win)
+            table_tr = None
+            if k <= 128:
+                table_tr = np.zeros((c, 24, 128), np.float32)
+                table_tr[:, :21, :k] = (
+                    table_t.reshape(c, k, 128)[:, :, :21]
+                    .transpose(0, 2, 1))
+                table_tr = jnp.asarray(table_tr)
             clusters_soa = TriangleClustersSoA(
-                aabb=jnp.asarray(cl.aabb), table_t=jnp.asarray(table_t))
+                aabb=jnp.asarray(cl.aabb), table_t=jnp.asarray(table_t),
+                table_tr=table_tr)
 
         cap = _bucket(n)
         pad = cap - n

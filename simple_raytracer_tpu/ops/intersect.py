@@ -255,7 +255,8 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         # placement; "bvh" lets the kernel pick by table size
         t_t, i_t, tri_attrs = intersect_triangles_bvh(
             o, d, alive_f, t_seed, cl.aabb, cl.table_t, with_attrs=True,
-            hbm_table=True if tri_backend == "clustered" else None)
+            hbm_table=True if tri_backend == "clustered" else None,
+            table_tr=cl.table_tr)
         i_t = jnp.maximum(i_t, 0)   # -1 (no win) -> any index; t is +inf
     elif tri_backend == "pallas":
         from .pallas.triangle_kernel import (intersect_triangles_pallas,

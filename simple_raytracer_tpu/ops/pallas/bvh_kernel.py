@@ -288,6 +288,17 @@ def _mt_update(tile, rays, t_scr, idx_scr, attr_scr, with_attrs):
 _SUPER = 16     # clusters per supercluster (the HBM path's coarse level);
                 # 16 bits sum exactly in f32 (max 65535 < 2^24)
 
+_TROWS = 24     # rows per cluster in the PACKED transposed table: 21
+                # attribute rows (same 0-20 column meaning as table_t)
+                # padded to a sublane multiple of 8.  The padded (K, 128)
+                # row layout DMAs 512 B per triangle of which 428 B are
+                # zero lanes; the packed (24, 128) tile (attributes on
+                # sublanes, the cluster's K<=128 triangles on lanes) is
+                # 96 B/triangle — a 5.3x HBM-bandwidth cut for the
+                # streaming path, paid back with ONE in-kernel (24, 128)
+                # -> (128, 24) transpose per visited cluster (~0.1 us on
+                # the XLU vs ~15 us of DMA wall saved per visit).
+
 _SUB = 128      # rays per MT sub-block (one lane group — the finest
                 # granularity static lane slicing allows)
 
@@ -352,9 +363,26 @@ def _mt_update_sub(tile, rays, t_scr, idx_scr, attr_scr, t_sub, s,
         attr_scr[:, sl] = jnp.where(better, new_attr, attr_scr[:, sl])
 
 
+def _tile_transpose(tile):
+    """(24, 128) packed tile -> (128, 24) MT orientation, on the MXU.
+
+    A one-hot f32 matmul is an EXACT permutation (every product is x*1
+    or x*0 and each output sums one nonzero term — the same argument as
+    the attr-extraction matmul above) and lowers to a single MXU pass;
+    ``lax.transpose`` would lower to a Mosaic relayout inside the
+    dynamic-trip DMA loop instead."""
+    eye = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1), 1.0, 0.0)
+    return jax.lax.dot_general(
+        eye, tile, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
                 out, t_scr, idx_scr, attr_scr, t_sub, lst, buf,
-                sems, *, block_l, n_clusters, with_attrs, n_sub):
+                sems, *, block_l, n_clusters, with_attrs, n_sub, packed):
     """HBM-table variant for meshes too large for VMEM residence.
 
     THREE-level culling, each level finer than the last:
@@ -475,6 +503,10 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
 
     def dma(j, slot):
         c = lst[0, j]
+        if packed:
+            # one (24, 128) packed tile per cluster — 96 B/triangle
+            return pltpu.make_async_copy(table_hbm.at[c], buf.at[slot],
+                                         sems.at[slot])
         row0 = pl.multiple_of(c * block_l, block_l)
         return pltpu.make_async_copy(
             table_hbm.at[pl.ds(row0, block_l), :], buf.at[slot],
@@ -504,6 +536,12 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
             def _():
                 dma(j, j % 2).wait()
                 tile = buf[j % 2]
+                if packed:
+                    # back to the MT orientation (K tris on sublanes,
+                    # attribute columns 0-20) — one MXU transpose per
+                    # visited cluster, amortized over every gated
+                    # sub-block's Moller-Trumbore below
+                    tile = _tile_transpose(tile)
                 for s in range(n_sub):
                     @pl.when(((prev_word >> s) & 1) > 0)
                     def _(s=s):
@@ -584,7 +622,8 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             interpret: bool = False,
                             with_attrs: bool = False,
                             hbm_table: Optional[bool] = None,
-                            sort_rays: Optional[bool] = None):
+                            sort_rays: Optional[bool] = None,
+                            table_tr: Optional[jnp.ndarray] = None):
     """(R,) rays x clustered triangles -> nearest-hit per ray.
 
     `alive`: (R,) f32 mask — dead rays generate no cluster visits.
@@ -622,7 +661,7 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                 alive[sl], t_init[sl], aabb, table_t,
                 block_r=block_r, interpret=interpret,
                 with_attrs=with_attrs, hbm_table=hbm_table,
-                sort_rays=sort_rays))
+                sort_rays=sort_rays, table_tr=table_tr))
         return tuple(jnp.concatenate([p[i] for p in parts], axis=-1)
                      for i in range(len(parts[0])))
 
@@ -695,9 +734,12 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         visits, counts = _visit_prepass(o, d, alive, t_init, super_aabb,
                                         block_r, pad_r)
         n_sub = block_r // _SUB
+        packed = table_tr is not None
+        table_op = table_tr if packed else table_t
         kernel = functools.partial(_kernel_hbm, block_l=block_l,
                                    n_clusters=c_pad,
-                                   with_attrs=with_attrs, n_sub=n_sub)
+                                   with_attrs=with_attrs, n_sub=n_sub,
+                                   packed=packed)
         # (field * SB + s, 128) transposed ray layout for the per-sub-
         # block slab words (fields: o.xyz, d.xyz, alive, t_init)
         rays_sub = (rays.reshape(8, rp // block_r, n_sub, _SUB)
@@ -713,11 +755,13 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         scratch += [
             pltpu.VMEM((n_sub, _SUB), jnp.float32),       # live t, sub layout
             pltpu.SMEM((1, c_pad), jnp.int32),            # visit list
-            pltpu.VMEM((2, block_l, table_t.shape[1]),
+            pltpu.VMEM((2, _TROWS, 128) if packed
+                       else (2, block_l, table_t.shape[1]),
                        jnp.float32),                      # double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
+        table_op = table_t
         visits, counts = _visit_prepass(o, d, alive, t_init, aabb,
                                         block_r, pad_r)
         order = front_to_back(aabb)
@@ -754,7 +798,7 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_out, rp), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(visits, counts, order, rays, table_t, *extra_in)
+    )(visits, counts, order, rays, table_op, *extra_in)
 
     res = out[:, :n_rays]
     if inv_perm is not None:

@@ -140,9 +140,17 @@ class TriangleClustersSoA(NamedTuple):
     [v0.xyz, e1.xyz, e2.xyz, n0/n1/n2 (9), material, active,
     global_index_f32, pad to 128 lanes] (indices stored as f32 — exact below 2^24
     triangles).  The kernel keeps the table VMEM-resident when it fits
-    and DMA-streams visited row tiles from HBM otherwise."""
+    and DMA-streams visited row tiles from HBM otherwise.
+
+    table_tr is the PACKED transposed copy for the HBM streaming path:
+    one (24, 128) tile per cluster with the same 21 attributes on
+    SUBLANES and the cluster's K<=128 triangles on LANES, so a per-visit
+    DMA moves 96 B/triangle instead of the row layout's 512 (the kernel
+    transposes the tile back on-chip).  None when K > 128 (no packed
+    form — the kernel falls back to row-tile streaming)."""
     aabb: jnp.ndarray      # (C, 8) f32: [min.xyz, max.xyz, pad, pad]
     table_t: jnp.ndarray   # (C*K, 128) f32
+    table_tr: Optional[jnp.ndarray] = None   # (C, 24, 128) f32 packed
 
 
 class MaterialsSoA(NamedTuple):

@@ -132,12 +132,16 @@ def test_bvh_rays_from_inside_mesh():
     np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5)
 
 
+@pytest.mark.parametrize("packed", [False, True])
 @pytest.mark.parametrize("with_attrs", [False, True])
-def test_hbm_variant_matches_vmem(with_attrs):
+def test_hbm_variant_matches_vmem(with_attrs, packed):
     """The HBM/DMA double-buffered path returns exactly what the
-    VMEM-resident path returns."""
+    VMEM-resident path returns — in both streaming forms: row tiles
+    (table_t) and packed transposed tiles (table_tr, the 96 B/triangle
+    layout the product path uses)."""
     ds = _mesh_scene()
     cl = ds.triangles.clusters
+    assert cl.table_tr is not None
     o, d = _rays(700, seed=7)
     alive = jnp.ones_like(o.x)
     t_init = jnp.full_like(o.x, jnp.inf)
@@ -146,10 +150,26 @@ def test_hbm_variant_matches_vmem(with_attrs):
                                 with_attrs=with_attrs, hbm_table=False)
     b = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb, cl.table_t,
                                 block_r=128, interpret=True,
-                                with_attrs=with_attrs, hbm_table=True)
+                                with_attrs=with_attrs, hbm_table=True,
+                                table_tr=cl.table_tr if packed else None)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert (np.asarray(a[1]) >= 0).any()   # some triangle wins exercised
+
+
+def test_packed_table_layout():
+    """table_tr holds exactly table_t's 21 attribute columns, transposed
+    per cluster (attributes on sublanes, triangles on lanes)."""
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    tt = np.asarray(cl.table_t)
+    tr = np.asarray(cl.table_tr)
+    c = cl.aabb.shape[0]
+    k = tt.shape[0] // c
+    assert tr.shape == (c, 24, 128)
+    np.testing.assert_array_equal(
+        tr[:, :21, :k], tt.reshape(c, k, 128)[:, :, :21].transpose(0, 2, 1))
+    assert (tr[:, 21:, :] == 0).all() and (tr[:, :, k:] == 0).all()
 
 
 @pytest.mark.parametrize("sort_rays", [False, True])
@@ -238,10 +258,10 @@ def test_end_to_end_bvh_render_matches_jnp():
     orig = bk.intersect_triangles_bvh
 
     def interp(o, d, alive, t_init, aabb, table_t, block_r=1536,
-               interpret=False, with_attrs=False, hbm_table=None):
+               interpret=False, with_attrs=False, hbm_table=None, **kw):
         return orig(o, d, alive, t_init, aabb, table_t, block_r=128,
                     interpret=True, with_attrs=with_attrs,
-                    hbm_table=hbm_table)
+                    hbm_table=hbm_table, **kw)
 
     bk.intersect_triangles_bvh = interp
     try:

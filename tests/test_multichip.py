@@ -115,10 +115,10 @@ def test_sharded_bvh_backend_matches_single_chip(devices):
     orig = bk.intersect_triangles_bvh
 
     def interp(o, d, alive, t_init, aabb, table_t, block_r=1536,
-               interpret=False, with_attrs=False, hbm_table=None):
+               interpret=False, with_attrs=False, hbm_table=None, **kw):
         return orig(o, d, alive, t_init, aabb, table_t, block_r=128,
                     interpret=True, with_attrs=with_attrs,
-                    hbm_table=hbm_table)
+                    hbm_table=hbm_table, **kw)
 
     bk.intersect_triangles_bvh = interp
     try:
