@@ -10,6 +10,7 @@ weak axis (mesh scenes, configs 4/5) is captured too.  Prints exactly one
 JSON line.
 """
 import json
+import signal
 import sys
 import time
 
@@ -33,10 +34,30 @@ def bench_config(n: int, width=1920, height=1080, samples=1, bounces=4,
     }
 
 
+class _Timeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _Timeout()
+
+
 def main():
+    # headline config first, each config under its own wall-clock bound:
+    # a single pathological compile or a wedged device must degrade one
+    # entry, not turn the whole bench into silence
+    signal.signal(signal.SIGALRM, _alarm)
     per_config = {}
-    for n in (1, 2, 3, 4, 5, 6):
-        per_config[f"config{n}"] = bench_config(n)
+    for n in (2, 1, 3, 4, 5, 6):
+        signal.alarm(1500)
+        try:
+            per_config[f"config{n}"] = bench_config(n)
+        except _Timeout:
+            per_config[f"config{n}"] = {
+                "mrays_per_second": 0.0, "seconds_per_step": None,
+                "vs_baseline": 0.0, "error": "timeout (1500s)"}
+        finally:
+            signal.alarm(0)
 
     headline = per_config["config2"]
     mrays = headline["mrays_per_second"]

@@ -177,7 +177,7 @@ def config5_two_meshes(width: int = 960, height: int = 540,
 def config6_large_mesh(width: int = 960, height: int = 540,
                        mesh_path: Optional[str] = None,
                        subdivisions: int = 6) -> tuple:
-    """Large-mesh stress config: one ~131K-triangle organic sculpt on a
+    """Large-mesh stress config: one ~82K-triangle organic sculpt on a
     ground plane (table far beyond VMEM residence — exercises the
     HBM/DMA streaming BVH path that big production assets take).  The
     reference brute-forces every triangle per ray (render.cl:316-331);
