@@ -302,6 +302,13 @@ _TROWS = 24     # rows per cluster in the PACKED transposed table: 21
 _SUB = 128      # rays per MT sub-block (one lane group — the finest
                 # granularity static lane slicing allows)
 
+_GROUP = 16     # superclusters per top-level GROUP when the prepass runs
+                # two-level (prepass_level="group"): the dense XLA slab
+                # then costs (S/16, R) instead of (S, R) — ~15x less of
+                # the dominant per-bounce XLA work at 82K triangles —
+                # and the kernel refines groups -> supers -> children
+                # with two in-kernel _slab_word levels.
+
 
 def _mt_update_sub(tile, rays, t_scr, idx_scr, attr_scr, t_sub, s,
                    with_attrs):
@@ -381,8 +388,9 @@ def _tile_transpose(tile):
 
 
 def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
-                out, t_scr, idx_scr, attr_scr, t_sub, lst, buf,
-                sems, *, block_l, n_clusters, with_attrs, n_sub, packed):
+                sup, out, t_scr, idx_scr, attr_scr, t_sub, lst, buf,
+                sems, *, block_l, n_clusters, with_attrs, n_sub, packed,
+                two_level):
     """HBM-table variant for meshes too large for VMEM residence.
 
     THREE-level culling, each level finer than the last:
@@ -489,16 +497,45 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
 
         return jax.lax.cond(word != 0, append_bits, lambda nn: nn, n)
 
-    def scan_super(j, n):
-        s = order[j]
-        bit = (visit[b, s // 32] >> (s % 32)) & 1
-        return jax.lax.cond(bit > 0, lambda nn: visit_super(s, nn),
-                            lambda nn: nn, n)
+    if two_level:
+        # prepass bits gate GROUPS of _GROUP supers; refine in-kernel
+        # with a super-level slab before the child-level one
+        def visit_group(g, n):
+            tile = sup[pl.ds(pl.multiple_of(g * _GROUP, _GROUP), _GROUP),
+                       :]
+            word = _slab_word(tile, rox, roy, roz, inx, iny, inz, live,
+                              t_scr)
+
+            def super_bits(nn):
+                def bit(i, nn):
+                    return jax.lax.cond(
+                        ((word >> i) & 1) > 0,
+                        lambda m: visit_super(g * _GROUP + i, m),
+                        lambda m: m, nn)
+                return jax.lax.fori_loop(0, _GROUP, bit, nn)
+
+            return jax.lax.cond(word != 0, super_bits, lambda nn: nn, n)
+
+        def scan_top(j, n):
+            g = order[j]
+            bit = (visit[b, g // 32] >> (g % 32)) & 1
+            return jax.lax.cond(bit > 0, lambda nn: visit_group(g, nn),
+                                lambda nn: nn, n)
+
+        n_top = n_super // _GROUP
+    else:
+        def scan_top(j, n):
+            s = order[j]
+            bit = (visit[b, s // 32] >> (s % 32)) & 1
+            return jax.lax.cond(bit > 0, lambda nn: visit_super(s, nn),
+                                lambda nn: nn, n)
+
+        n_top = n_super
 
     # empty blocks (most of the sky, every fully-dead block) skip even
-    # the super scan — the prepass already counted their visits
+    # the top-level scan — the prepass already counted their visits
     n = jax.lax.cond(count[b] > 0,
-                     lambda _: jax.lax.fori_loop(0, n_super, scan_super, 0),
+                     lambda _: jax.lax.fori_loop(0, n_top, scan_top, 0),
                      lambda _: 0, 0)
 
     def dma(j, slot):
@@ -615,7 +652,8 @@ def _sort_rays_by_super(o, d, alive, t_init, super_aabb, order):
 
 @functools.partial(jax.jit,
                    static_argnames=("block_r", "interpret", "with_attrs",
-                                    "hbm_table", "sort_rays"))
+                                    "hbm_table", "sort_rays",
+                                    "prepass_level"))
 def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             t_init: jnp.ndarray, aabb: jnp.ndarray,
                             table_t: jnp.ndarray, block_r: int = 1536,
@@ -623,7 +661,8 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             with_attrs: bool = False,
                             hbm_table: Optional[bool] = None,
                             sort_rays: Optional[bool] = None,
-                            table_tr: Optional[jnp.ndarray] = None):
+                            table_tr: Optional[jnp.ndarray] = None,
+                            prepass_level: str = "super"):
     """(R,) rays x clustered triangles -> nearest-hit per ray.
 
     `alive`: (R,) f32 mask — dead rays generate no cluster visits.
@@ -633,6 +672,13 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     `hbm_table` selects where the table lives during the kernel: False =
     VMEM-resident (small/mid meshes), True = HBM with double-buffered
     per-visit DMA; None picks by size (VMEM_TABLE_MAX_SLOTS).
+    `table_tr`: optional (C, 24, 128) packed transposed table — when
+    given, the HBM path streams 96 B/triangle tiles instead of 512
+    (see _TROWS); ignored by the VMEM path.
+    `prepass_level`: "super" (default) gates superclusters in the XLA
+    prepass; "group" gates groups of _GROUP supers instead (a ~15x
+    cheaper prepass) and refines groups -> supers inside the kernel.
+    Both are result-identical; HBM path only.
     Returns (t_best (R,), idx_best (R,) i32) with idx == -1 and t == +inf
     where no triangle won; with_attrs=True additionally returns the
     winner's (19, R) shading attributes [v0, e1, e2, n0, n1, n2, mat]."""
@@ -661,7 +707,8 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                 alive[sl], t_init[sl], aabb, table_t,
                 block_r=block_r, interpret=interpret,
                 with_attrs=with_attrs, hbm_table=hbm_table,
-                sort_rays=sort_rays, table_tr=table_tr))
+                sort_rays=sort_rays, table_tr=table_tr,
+                prepass_level=prepass_level))
         return tuple(jnp.concatenate([p[i] for p in parts], axis=-1)
                      for i in range(len(parts[0])))
 
@@ -678,12 +725,16 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         d2 = jnp.sum((centers - origin[None, :]) ** 2, axis=1)
         return jnp.argsort(d2).astype(jnp.int32)
 
-    super_aabb = order = None
+    two_level = hbm_table and prepass_level == "group"
+    super_aabb = top_aabb = order = None
     if hbm_table:
-        # Pad the cluster list to a _SUPER multiple with point-at-
-        # infinity sentinel boxes (lo = hi = 3e38 misses every slab test
-        # for every ray sign) and bound each group of _SUPER children.
-        c_pad = ((n_clusters + _SUPER - 1) // _SUPER) * _SUPER
+        # Pad the cluster list to a _SUPER (or _SUPER*_GROUP) multiple
+        # with point-at-infinity sentinel boxes (lo = hi = 3e38 misses
+        # every slab test for every ray sign) and bound each group of
+        # _SUPER children; two-level additionally bounds each group of
+        # _GROUP supers for the coarser prepass.
+        quantum = _SUPER * _GROUP if two_level else _SUPER
+        c_pad = ((n_clusters + quantum - 1) // quantum) * quantum
         sent = jnp.full((c_pad - n_clusters, 8), 3.0e38, jnp.float32
                         ).at[:, 6:].set(0.0)
         aabb_pad = jnp.concatenate([aabb, sent]) if c_pad > n_clusters \
@@ -694,11 +745,19 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         super_aabb = jnp.concatenate(
             [lo.min(axis=1), hi.max(axis=1),
              jnp.zeros((c_pad // _SUPER, 2), jnp.float32)], axis=1)
-        order = front_to_back(super_aabb)
+        if two_level:
+            grp = super_aabb.reshape(-1, _GROUP, 8)
+            top_aabb = jnp.concatenate(
+                [grp[:, :, 0:3].min(axis=1), grp[:, :, 3:6].max(axis=1),
+                 jnp.zeros((grp.shape[0], 2), jnp.float32)], axis=1)
+        else:
+            top_aabb = super_aabb
+        order = front_to_back(top_aabb)
 
     inv_perm = None
     if sort_rays and hbm_table:
-        perm = _sort_rays_by_super(o, d, alive, t_init, super_aabb, order)
+        perm = _sort_rays_by_super(o, d, alive, t_init, super_aabb,
+                                   front_to_back(super_aabb))
         inv_perm = jnp.zeros((n_rays,), jnp.int32).at[perm].set(
             jnp.arange(n_rays, dtype=jnp.int32))
         take = lambda v: jnp.take(v, perm, axis=0)
@@ -731,7 +790,7 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
             [aabb, jnp.full((c_pad - n_clusters, 8), 3.0e38, jnp.float32
                             ).at[:, 6:].set(0.0)]) \
             if c_pad > n_clusters else aabb
-        visits, counts = _visit_prepass(o, d, alive, t_init, super_aabb,
+        visits, counts = _visit_prepass(o, d, alive, t_init, top_aabb,
                                         block_r, pad_r)
         n_sub = block_r // _SUB
         packed = table_tr is not None
@@ -739,18 +798,20 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         kernel = functools.partial(_kernel_hbm, block_l=block_l,
                                    n_clusters=c_pad,
                                    with_attrs=with_attrs, n_sub=n_sub,
-                                   packed=packed)
+                                   packed=packed, two_level=two_level)
         # (field * SB + s, 128) transposed ray layout for the per-sub-
         # block slab words (fields: o.xyz, d.xyz, alive, t_init)
         rays_sub = (rays.reshape(8, rp // block_r, n_sub, _SUB)
                     .transpose(0, 2, 1, 3).reshape(8 * n_sub, -1))
-        extra_in = [rays_sub, aabb_pad]
+        extra_in = [rays_sub, aabb_pad, super_aabb]
         extra_specs = [
             pl.BlockSpec(memory_space=pl.ANY),         # table in HBM
             pl.BlockSpec((8 * n_sub, _SUB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),     # sub-layout rays
             pl.BlockSpec((c_pad, 8), lambda i: (0, 0),    # child boxes
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((super_aabb.shape[0], 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),     # super boxes
         ]
         scratch += [
             pltpu.VMEM((n_sub, _SUB), jnp.float32),       # live t, sub layout

@@ -132,9 +132,10 @@ def test_bvh_rays_from_inside_mesh():
     np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5)
 
 
+@pytest.mark.parametrize("prepass_level", ["super", "group"])
 @pytest.mark.parametrize("packed", [False, True])
 @pytest.mark.parametrize("with_attrs", [False, True])
-def test_hbm_variant_matches_vmem(with_attrs, packed):
+def test_hbm_variant_matches_vmem(with_attrs, packed, prepass_level):
     """The HBM/DMA double-buffered path returns exactly what the
     VMEM-resident path returns — in both streaming forms: row tiles
     (table_t) and packed transposed tiles (table_tr, the 96 B/triangle
@@ -151,7 +152,8 @@ def test_hbm_variant_matches_vmem(with_attrs, packed):
     b = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb, cl.table_t,
                                 block_r=128, interpret=True,
                                 with_attrs=with_attrs, hbm_table=True,
-                                table_tr=cl.table_tr if packed else None)
+                                table_tr=cl.table_tr if packed else None,
+                                prepass_level=prepass_level)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert (np.asarray(a[1]) >= 0).any()   # some triangle wins exercised
