@@ -247,8 +247,15 @@ def build_clusters(positions: np.ndarray, k: int = 256,
                    leaf_size: int = 8) -> Clusters:
     """Cut a SAH BVH into spatial clusters of at most `k` triangles.
 
-    Every cluster is a whole BVH subtree, so its triangles are contiguous
-    in the BVH-reordered array and its AABB is the subtree's node box."""
+    Two stages: (1) cut the tree into GRANULES — whole subtrees of at
+    most k/4 triangles, so their ranges are contiguous in the
+    BVH-reordered array — then (2) greedily pack DFS-consecutive
+    granules into clusters of at most k (box = union).  Cutting whole
+    subtrees directly at k averages ~62% slot fill (subtree sizes don't
+    align to k); the pack stage reaches ~90%, which is what lets an 82K-
+    triangle packed table stay inside the megakernel's VMEM budget.
+    DFS-adjacent subtrees are spatial siblings, so union boxes stay
+    tight and culling quality is preserved."""
     t = positions.shape[0]
     if t == 0:
         return Clusters(aabb=np.zeros((0, 8), np.float32),
@@ -267,22 +274,38 @@ def build_clusters(positions: np.ndarray, k: int = 256,
         next_leaf_first[i] = (bvh.meta[i, 1] if is_leaf[i]
                               else next_leaf_first[i + 1])
 
-    boxes, firsts, counts = [], [], []
+    granule = max(min(leaf_size, k), k // 4)
+    g_boxes, g_firsts, g_counts = [], [], []
     i = 0
     while i < n:
         count = pref[skip[i]] - pref[i]
-        if count <= k or is_leaf[i]:
+        if count <= granule or is_leaf[i]:
             first = int(next_leaf_first[i])
             # an oversized leaf (e.g. the python builder's depth cutoff)
-            # is split across several clusters sharing its box rather than
-            # silently dropping triangles past slot k
+            # is split across several granules sharing its box rather
+            # than silently dropping triangles past slot k
             for off in range(0, max(int(count), 1), k):
-                boxes.append(bvh.nodes[i, :6])
-                firsts.append(first + off)
-                counts.append(min(int(count) - off, k))
+                g_boxes.append(np.asarray(bvh.nodes[i, :6], np.float32))
+                g_firsts.append(first + off)
+                g_counts.append(min(int(count) - off, k))
             i = int(skip[i])
         else:
             i += 1
+
+    # pack consecutive granules (their ranges are contiguous in DFS
+    # order, so packed clusters stay contiguous slot ranges)
+    boxes, firsts, counts = [], [], []
+    for box, first, count in zip(g_boxes, g_firsts, g_counts):
+        if counts and counts[-1] + count <= k \
+                and firsts[-1] + counts[-1] == first:
+            counts[-1] += count
+            boxes[-1] = np.concatenate(
+                [np.minimum(boxes[-1][:3], box[:3]),
+                 np.maximum(boxes[-1][3:6], box[3:6])])
+        else:
+            boxes.append(box.copy())
+            firsts.append(first)
+            counts.append(count)
 
     c = len(boxes)
     aabb = np.zeros((c, 8), np.float32)

@@ -68,10 +68,14 @@ class Scene:
     # kernel keeps it VMEM-resident when it fits and streams it from HBM
     # with double-buffered DMA otherwise.
     cluster_threshold: int = 512
-    # K=64 measured best for the FULL 4-bounce step (secondary incoherent
-    # rays dominate; finer boxes cull more visits): config5 1080p step
-    # 63.3 -> 59.2 ms vs K=128, K=32 and K=256 both worse
-    cluster_size: int = 64
+    # None = auto cluster size: K=64 for meshes whose row table stays
+    # VMEM-resident (measured best for the full 4-bounce step: config5
+    # 1080p 63.3 -> 59.2 ms vs K=128; K=32 and K=256 both worse), K=128
+    # for larger meshes so the PACKED transposed table fills every tile
+    # lane — that keeps ~100K-triangle tables inside the megakernel's
+    # VMEM residence budget (bounce_kernel.MEGA_PACKED_MAX_CLUSTERS).
+    # Set an int to force a specific K.
+    cluster_size: Optional[int] = None
 
     def __init__(self, default_material: bool = True):
         self.spheres: List[Sphere] = []
@@ -257,18 +261,25 @@ class Scene:
         clusters_soa = None
         if n >= self.cluster_threshold:
             from .. import accel
+            # auto K (see the cluster_size field comment): 64 while the
+            # row table stays VMEM-resident, 128 beyond so the packed
+            # tiles fill every lane and big meshes keep megakernel
+            # eligibility
+            from ..ops.pallas.bvh_kernel import VMEM_TABLE_MAX_SLOTS
+            k_eff = self.cluster_size or (
+                64 if n <= VMEM_TABLE_MAX_SLOTS else 128)
             # BVH topology cache: with refit=True a transform-only edit
             # (gizmo drag) refits the cached tree in O(T) instead of a
             # full SAH rebuild — same coverage guarantees, degraded
             # spatial quality until the next full build()
-            key = (self.cluster_size, len(self.pool),
+            key = (k_eff, len(self.pool),
                    tuple((m.triangle_index, m.num_triangles)
                          for m in self.models))
             cached = self._cluster_topo
             if refit and cached is not None and cached[0] == key:
                 cl = accel.refit_clusters(cached[1], pos)
             else:
-                cl = accel.build_clusters(pos, k=self.cluster_size)
+                cl = accel.build_clusters(pos, k=k_eff)
                 self._cluster_topo = (key, cl)
             # bucket-pad the cluster count with point-at-infinity
             # sentinels (lo = hi = 3e38: empty slab interval for every

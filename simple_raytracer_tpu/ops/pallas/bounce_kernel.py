@@ -108,6 +108,11 @@ def _pad_rows(tab: jnp.ndarray, mult: int = 8) -> jnp.ndarray:
 # table); larger meshes go through the BVH kernel path
 SMALL_TRIS_MAX = 64
 
+# packed-table VMEM residence budget for the megakernel's in-kernel BVH:
+# clusters * 24 rows * 512 B must leave room for the bounce-loop working
+# set in ~16 MB VMEM.  853 clusters = ~10 MB = ~109K triangles at K=128.
+MEGA_PACKED_MAX_CLUSTERS = 853
+
 
 def small_tris_table(scene):
     """(T8, 24) dense triangle table for the megakernel, or None.
@@ -266,7 +271,7 @@ def _tris_small(tab, o: Vec3, d: Vec3):
 
 
 def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
-                    n_clusters, block_l):
+                    n_clusters, block_l, packed=False):
     """In-kernel BVH-clustered triangle traversal over a VMEM-resident
     table — the unified-megakernel form of ops/pallas/bvh_kernel.py's
     VMEM variant, operating on VALUE carries instead of scratch refs.
@@ -328,6 +333,14 @@ def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
         t_best, won, nx_b, ny_b, nz_b, m_b = carry
         row0 = pl.multiple_of(c * block_l, block_l)
         tile = table[pl.ds(row0, block_l), :]
+        if packed:
+            # (24, 128) packed tile -> MT orientation; the one-hot MXU
+            # transpose is exact (bvh_kernel._tile_transpose).  Packed
+            # residence is what lets ~100K-triangle tables live in VMEM
+            # (96 B/tri vs the row layout's 512), extending the
+            # megakernel to production-size meshes.
+            from .bvh_kernel import _tile_transpose
+            tile = _tile_transpose(tile)
         col = lambda k: tile[:, k:k + 1]
         e1x, e1y, e1z = col(3), col(4), col(5)
         e2x, e2y, e2z = col(6), col(7), col(8)
@@ -559,7 +572,8 @@ def _bounce_kernel(counts, flags, state, *tabs_and_out,
 def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
                   num_samples, width, tile, n_rays, block_r,
                   has_spheres, has_planes, has_tris, n_clusters=0,
-                  block_l=0, fold_sky=False, early_exit=True):
+                  block_l=0, tri_packed=False, fold_sky=False,
+                  early_exit=True):
     """Ray generation + the full bounce loop for one ray block — ray state
     never leaves VMEM; only the 9 result rows (color, deferred-sky
     throughput and direction) are written back.  Small meshes (<=
@@ -664,7 +678,7 @@ def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
             t_t, n_raw, m_tri = _tris_clustered(
                 cl_table, cl_aabb, cl_order, o, d, alive,
                 jnp.minimum(t_s, t_p), n_clusters=n_clusters,
-                block_l=block_l)
+                block_l=block_l, packed=tri_packed)
             tri = (t_t, lambda pos, _n=n_raw, _m=m_tri: (_n, _m))
         o, d, seed, alive, mask, color, sky_mask, sky_dir = _bounce_body(
             o, d, seed, alive, mask, color, sky_mask, sky_dir,
@@ -754,10 +768,21 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
     # dominate) is computed once per call in XLA
     cl = scene.triangles.clusters
     n_clusters = block_l = 0
-    cl_order = None
+    cl_order = cl_table_op = None
+    tri_packed = False
     if cl is not None:
+        from .bvh_kernel import VMEM_TABLE_MAX_SLOTS, _TROWS
         n_clusters = cl.aabb.shape[0]
-        block_l = cl.table_t.shape[0] // max(n_clusters, 1)
+        # big tables ride VMEM in the packed transposed form (96 B/tri);
+        # small ones stay in the row layout (no per-visit transpose)
+        tri_packed = (cl.table_t.shape[0] > VMEM_TABLE_MAX_SLOTS
+                      and cl.table_tr is not None)
+        if tri_packed:
+            cl_table_op = cl.table_tr.reshape(-1, 128)
+            block_l = _TROWS
+        else:
+            cl_table_op = cl.table_t
+            block_l = cl.table_t.shape[0] // max(n_clusters, 1)
         centers = (cl.aabb[:, 0:3] + cl.aabb[:, 3:6]) * 0.5
         cam = jnp.stack([jnp.asarray(position.x, jnp.float32).reshape(()),
                          jnp.asarray(position.y, jnp.float32).reshape(()),
@@ -799,8 +824,8 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         inputs.append(tri_tab)
         in_specs.append(whole(tri_tab))
     if cl is not None:
-        inputs += [cl_order, cl.table_t, cl.aabb]
-        in_specs += [smem, whole(cl.table_t), whole(cl.aabb)]
+        inputs += [cl_order, cl_table_op, cl.aabb]
+        in_specs += [smem, whole(cl_table_op), whole(cl.aabb)]
     inputs.append(mat_tab)
     in_specs.append(whole(mat_tab))
 
@@ -809,8 +834,8 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         width=width, tile=ray_tile, n_rays=n_rays, block_r=block_r,
         has_spheres=sph_tab is not None, has_planes=pln_tab is not None,
         has_tris=tri_tab is not None or cl is not None,
-        n_clusters=n_clusters, block_l=block_l, fold_sky=fold_sky,
-        early_exit=scene.flags.sky_reachable)
+        n_clusters=n_clusters, block_l=block_l, tri_packed=tri_packed,
+        fold_sky=fold_sky, early_exit=scene.flags.sky_reachable)
 
     n_out = 3 if fold_sky else 9
     rows = pl.pallas_call(

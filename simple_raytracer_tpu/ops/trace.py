@@ -197,14 +197,17 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
     if tile_height is None:
         tile_height = height
     rot = camera_rotation(camera.yaw, camera.pitch)
-    from .pallas.bounce_kernel import SMALL_TRIS_MAX
+    from .pallas.bounce_kernel import (SMALL_TRIS_MAX,
+                                       MEGA_PACKED_MAX_CLUSTERS)
     from .pallas.bvh_kernel import VMEM_TABLE_MAX_SLOTS
     n_tris = scene.triangles.material.shape[0]
     cl = scene.triangles.clusters
     mega_tris = (n_tris == 0
                  or (n_tris <= SMALL_TRIS_MAX and cl is None)
                  or (cl is not None
-                     and cl.table_t.shape[0] <= VMEM_TABLE_MAX_SLOTS))
+                     and cl.table_t.shape[0] <= VMEM_TABLE_MAX_SLOTS)
+                 or (cl is not None and cl.table_tr is not None
+                     and cl.table_tr.shape[0] <= MEGA_PACKED_MAX_CLUSTERS))
     use_mega = (not show_normals and mega_tris
                 and tri_backend in ("auto", "fused")
                 and (tri_backend == "fused"

@@ -53,6 +53,34 @@ def test_megakernel_clustered_mesh_matches_scan_path():
     _assert_close(a, b)
 
 
+def test_megakernel_packed_table_bit_identical(monkeypatch):
+    """Big-mesh megakernel form: when the row table outgrows VMEM
+    residence, the kernel traverses the PACKED transposed table (one
+    (24, 128) tile per cluster + an exact MXU transpose per visit).
+    Shrinking the residence threshold forces config 4's mesh onto that
+    path; the canvas must be BIT-IDENTICAL to the row-table form (same
+    arithmetic, same traversal — only the tile source differs)."""
+    import simple_raytracer_tpu.ops.pallas.bvh_kernel as bk
+
+    def canvas():
+        scene, camera, options = CONFIGS[4](width=48, height=32)
+        ds = scene.build()
+        assert ds.triangles.clusters is not None
+        f = make_render_step(48, 32, 1, 3, tri_backend="fused",
+                             ray_tile=None, jit=False)
+        c = jnp.zeros((32, 48, 3), jnp.float32)
+        return ds, np.asarray(f(ds, camera.state(1.5), c, jnp.uint32(77)))
+
+    ds_row, a = canvas()
+    assert ds_row.triangles.clusters.table_t.shape[0] <= \
+        bk.VMEM_TABLE_MAX_SLOTS          # row form taken
+    monkeypatch.setattr(bk, "VMEM_TABLE_MAX_SLOTS", 256)
+    ds_pk, b = canvas()
+    # auto cluster_size switched to 128 and the packed gate engaged
+    assert ds_pk.triangles.clusters.table_t.shape[0] > 256
+    np.testing.assert_array_equal(a, b)
+
+
 def test_enclosed_flag_is_result_neutral():
     """SceneFlags.sky_reachable only toggles the megakernel's early-exit
     liveness check: the fori_loop (enclosed) and while_loop forms must be
