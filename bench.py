@@ -11,10 +11,39 @@ JSON line.
 """
 import json
 import signal
+import subprocess
 import sys
 import time
 
-import jax
+
+def _device_probe(timeout_s: float = 300.0) -> str:
+    """`import jax` can HANG here before any user code runs: the axon
+    sitecustomize claims the TPU pool at interpreter start, and a dead
+    relay blocks the claim forever (observed 2026-08-17: a killed remote
+    compile wedged the pool for hours).  Probe in a subprocess with a
+    hard timeout so the bench prints an honest failure line instead of
+    silence."""
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if p.returncode == 0:
+            return p.stdout.strip().splitlines()[-1]
+        return f"error: rc={p.returncode} {p.stderr[-200:]}"
+    except subprocess.TimeoutExpired:
+        return "timeout"
+
+
+_platform = _device_probe()
+if _platform in ("timeout",) or _platform.startswith("error"):
+    print(json.dumps({
+        "metric": "Mrays/sec/chip (4-bounce, 1080p, four-sphere scene)",
+        "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+        "extra": {"error": f"device unavailable: {_platform}"}}))
+    sys.exit(0)
+
+import jax  # noqa: E402
 
 
 def bench_config(n: int, width=1920, height=1080, samples=1, bounces=4,
