@@ -1,20 +1,19 @@
-"""Sweep config 6 (82K-tri HBM BVH path) step time over the knobs that
-trade culling granularity against per-cluster overhead:
+"""Sweep config 6 (82K-tri mesh) step time across the large-mesh paths:
 
-  cluster_size K in {64, 128}  (K=128 halves the serial visit chain and
-                                fills every MT lane of the packed tile;
-                                K=64 culls twice as fine)
-  packed (table_tr) on/off     (96 vs 512 B/triangle of DMA)
+  mega        K=128 packed table VMEM-resident, whole-trace megakernel
+              (the default route after the round-3 packed-table work)
+  split K=128 per-bounce split path (XLA prepass + HBM BVH kernel +
+              bounce kernel), packed streaming tiles
+  split K=64  same, finer culling granularity
+  split-row   K=64 with the packed table disabled (512 B/tri row DMA —
+              the round-2 form, kept as the regression baseline)
 
-Usage: python scripts/sweep_config6.py [iters]
-Prints one line per variant; run on the TPU.
+Usage: python scripts/sweep_config6.py [iters]   (run on the TPU)
 """
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-
 
 from simple_raytracer_tpu.engine import Renderer, RenderOptions
 from simple_raytracer_tpu.models.presets import CONFIGS
@@ -23,28 +22,32 @@ import simple_raytracer_tpu.ops.pallas.bvh_kernel as bk
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
 
-def run(k, packed):
+def run(label, k, backend, strip_packed=False, prepass="super"):
     scene, camera, _ = CONFIGS[6]()
     scene.cluster_size = k
     orig = bk.intersect_triangles_bvh
-    if not packed:
-        def unpacked(*a, **kw):
-            kw["table_tr"] = None   # caller kwargs would win over partial
-            return orig(*a, **kw)
-        bk.intersect_triangles_bvh = unpacked
+
+    def shim(*a, **kw):
+        if strip_packed:
+            kw["table_tr"] = None
+        kw["prepass_level"] = prepass
+        return orig(*a, **kw)
+
+    bk.intersect_triangles_bvh = shim
     try:
         opts = RenderOptions(width=1920, height=1080, num_samples=1,
-                             num_bounces=4)
+                             num_bounces=4, tri_backend=backend)
         r = Renderer(opts, scene=scene)
         st = r.benchmark_step(camera, iters=ITERS, warmup=2)
     finally:
         bk.intersect_triangles_bvh = orig
-    print(f"K={k:3d} packed={int(packed)}  "
-          f"{st['seconds_per_step']*1e3:8.2f} ms  "
+    print(f"{label:18s} {st['seconds_per_step']*1e3:8.2f} ms  "
           f"{st['mrays_per_second']:7.1f} Mrays/s", flush=True)
 
 
 if __name__ == "__main__":
-    for k in (64, 128):
-        for packed in (True, False):
-            run(k, packed)
+    run("mega K=128", None, "auto")
+    run("split K=128", None, "bvh")
+    run("split K=128 2lv", None, "bvh", prepass="group")
+    run("split K=64", 64, "bvh")
+    run("split K=64 row", 64, "bvh", strip_packed=True)
