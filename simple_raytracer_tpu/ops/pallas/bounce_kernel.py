@@ -50,6 +50,7 @@ with the same masked-update semantics as ops/trace.py.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +113,12 @@ SMALL_TRIS_MAX = 64
 # clusters * 24 rows * 512 B must leave room for the bounce-loop working
 # set in ~16 MB VMEM.  853 clusters = ~10 MB = ~109K triangles at K=128.
 MEGA_PACKED_MAX_CLUSTERS = 853
+
+# per-cluster MT ray-slice gating in the megakernel's BVH traversal
+# (_tris_clustered mt_slices): 1 = full-block MT (no gating).  Values
+# > 1 must divide block_r/128; compile time grows ~linearly.  Env knob
+# for the TPU sweep until a measured default lands.
+MEGA_MT_SLICES = int(_os.environ.get("SRT_MEGA_MT_SLICES", "1"))
 
 
 def small_tris_table(scene):
@@ -271,7 +278,7 @@ def _tris_small(tab, o: Vec3, d: Vec3):
 
 
 def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
-                    n_clusters, block_l, packed=False):
+                    n_clusters, block_l, packed=False, mt_slices=1):
     """In-kernel BVH-clustered triangle traversal over a VMEM-resident
     table — the unified-megakernel form of ops/pallas/bvh_kernel.py's
     VMEM variant, operating on VALUE carries instead of scratch refs.
@@ -282,6 +289,19 @@ def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
     survivors run Moller-Trumbore with the candidate smooth normal
     interpolated from MT's (u, v) so the running state is just 6 rows:
     [t, won, nx, ny, nz, material].
+
+    ``mt_slices`` > 1 re-slabs each surviving cluster against STATIC
+    128-lane-aligned ray slices under the live t bound and runs
+    Moller-Trumbore only on slices that pass — the megakernel analog of
+    the split kernel's per-sub-block gating.  Secondary-bounce rays are
+    direction-incoherent, so the cluster set a whole 1536-ray block
+    visits is far larger than what any 128-ray strip needs; gating cuts
+    the MT lanes by that coherence ratio.  Bit-identical results: the
+    per-column MT math and reductions are unchanged, and a skipped slice
+    provably has no slab interval under the live bound, so no closer hit
+    exists there.  Compile time scales ~linearly with the slice count
+    (every cond duplicates the MT body), hence a knob rather than a
+    constant.
 
     Returns (t_t, n_raw Vec3, m_tri) with t_t = +inf where no triangle
     beat the seed — the same contract the split BVH path feeds the
@@ -330,7 +350,6 @@ def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
         return jax.lax.cond(word != 0, scan_bits, lambda c_: c_, carry)
 
     def mt(c, carry):
-        t_best, won, nx_b, ny_b, nz_b, m_b = carry
         row0 = pl.multiple_of(c * block_l, block_l)
         tile = table[pl.ds(row0, block_l), :]
         if packed:
@@ -342,51 +361,98 @@ def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
             from .bvh_kernel import _tile_transpose
             tile = _tile_transpose(tile)
         col = lambda k: tile[:, k:k + 1]
-        e1x, e1y, e1z = col(3), col(4), col(5)
-        e2x, e2y, e2z = col(6), col(7), col(8)
-        hx = d.y * e2z - d.z * e2y
-        hy = d.z * e2x - d.x * e2z
-        hz = d.x * e2y - d.y * e2x
-        a = e1x * hx + e1y * hy + e1z * hz
-        f = 1.0 / a
-        sx = o.x - col(0)
-        sy = o.y - col(1)
-        sz = o.z - col(2)
-        u = f * (sx * hx + sy * hy + sz * hz)
-        qx = sy * e1z - sz * e1y
-        qy = sz * e1x - sx * e1z
-        qz = sx * e1y - sy * e1x
-        v = f * (d.x * qx + d.y * qy + d.z * qz)
-        t = f * (e2x * qx + e2y * qy + e2z * qz)
-        valid = ((a != 0.0)
-                 & (u >= 0.0) & (u <= 1.0)
-                 & (v >= 0.0) & (u + v <= 1.0)
-                 & (t > 0.0)
-                 & (col(19) > 0.0))
-        t = jnp.where(valid, t, _INF)
-        u = jnp.where(valid, u, 0.0)
-        v = jnp.where(valid, v, 0.0)
-        w0 = 1.0 - u - v
-        nx = col(9) * w0 + col(12) * u + col(15) * v
-        ny = col(10) * w0 + col(13) * u + col(16) * v
-        nz = col(11) * w0 + col(14) * u + col(17) * v
-        local_t = jnp.min(t, axis=0, keepdims=True)
-        n = t.shape[0]
-        iota = jax.lax.broadcasted_iota(
-            jnp.int32, (n, 1), 0).astype(jnp.float32)
-        imin = jnp.min(jnp.where(t == local_t, iota, jnp.float32(1e9)),
-                       axis=0, keepdims=True)
-        sel = jnp.where((t == local_t) & (iota == imin), 1.0, 0.0)
-        pick = lambda q: jnp.sum(q * sel, axis=0, keepdims=True)
-        better = local_t < t_best
-        return (jnp.where(better, local_t, t_best),
-                jnp.where(better, 1.0, won),
-                jnp.where(better, pick(nx), nx_b),
-                jnp.where(better, pick(ny), ny_b),
-                jnp.where(better, pick(nz), nz_b),
-                jnp.where(better,
-                          pick(jnp.broadcast_to(col(18), t.shape)),
-                          m_b))
+
+        def mt_cols(ox, oy, oz, dx, dy, dz, cs):
+            """Moller-Trumbore on one static column slice of the block's
+            rays (the full block when mt_slices == 1) — per-column math
+            and reductions, so slicing never changes results."""
+            t_best, won, nx_b, ny_b, nz_b, m_b = cs
+            e1x, e1y, e1z = col(3), col(4), col(5)
+            e2x, e2y, e2z = col(6), col(7), col(8)
+            hx = dy * e2z - dz * e2y
+            hy = dz * e2x - dx * e2z
+            hz = dx * e2y - dy * e2x
+            a = e1x * hx + e1y * hy + e1z * hz
+            f = 1.0 / a
+            sx = ox - col(0)
+            sy = oy - col(1)
+            sz = oz - col(2)
+            u = f * (sx * hx + sy * hy + sz * hz)
+            qx = sy * e1z - sz * e1y
+            qy = sz * e1x - sx * e1z
+            qz = sx * e1y - sy * e1x
+            v = f * (dx * qx + dy * qy + dz * qz)
+            t = f * (e2x * qx + e2y * qy + e2z * qz)
+            valid = ((a != 0.0)
+                     & (u >= 0.0) & (u <= 1.0)
+                     & (v >= 0.0) & (u + v <= 1.0)
+                     & (t > 0.0)
+                     & (col(19) > 0.0))
+            t = jnp.where(valid, t, _INF)
+            u = jnp.where(valid, u, 0.0)
+            v = jnp.where(valid, v, 0.0)
+            w0 = 1.0 - u - v
+            nx = col(9) * w0 + col(12) * u + col(15) * v
+            ny = col(10) * w0 + col(13) * u + col(16) * v
+            nz = col(11) * w0 + col(14) * u + col(17) * v
+            local_t = jnp.min(t, axis=0, keepdims=True)
+            n = t.shape[0]
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (n, 1), 0).astype(jnp.float32)
+            imin = jnp.min(jnp.where(t == local_t, iota, jnp.float32(1e9)),
+                           axis=0, keepdims=True)
+            sel = jnp.where((t == local_t) & (iota == imin), 1.0, 0.0)
+            pick = lambda q: jnp.sum(q * sel, axis=0, keepdims=True)
+            better = local_t < t_best
+            return (jnp.where(better, local_t, t_best),
+                    jnp.where(better, 1.0, won),
+                    jnp.where(better, pick(nx), nx_b),
+                    jnp.where(better, pick(ny), ny_b),
+                    jnp.where(better, pick(nz), nz_b),
+                    jnp.where(better,
+                              pick(jnp.broadcast_to(col(18), t.shape)),
+                              m_b))
+
+        if mt_slices == 1:
+            return mt_cols(o.x, o.y, o.z, d.x, d.y, d.z, carry)
+
+        # cluster c's box as scalars (one-hot masked reduction over its
+        # aligned group-of-8 tile — Mosaic cannot scalar-read vectors)
+        tile8 = aabb8[pl.ds(pl.multiple_of((c // 8) * 8, 8), 8), :]
+        onehot = jnp.where(jax.lax.broadcasted_iota(
+            jnp.int32, (8, 1), 0) == c % 8, 1.0, 0.0)
+        bx = lambda k: jnp.sum(tile8[:, k:k + 1] * onehot)
+        wdt = shape[1] // mt_slices
+        parts = [[] for _ in range(6)]
+        t_live = carry[0]
+        for s in range(mt_slices):
+            sl = (slice(None), slice(s * wdt, (s + 1) * wdt))
+            osx, osy, osz = o.x[sl], o.y[sl], o.z[sl]
+            t1x = (bx(0) - osx) * inx[sl]
+            t2x = (bx(3) - osx) * inx[sl]
+            t1y = (bx(1) - osy) * iny[sl]
+            t2y = (bx(4) - osy) * iny[sl]
+            t1z = (bx(2) - osz) * inz[sl]
+            t2z = (bx(5) - osz) * inz[sl]
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                           jnp.minimum(t1y, t2y)),
+                               jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                          jnp.maximum(t1y, t2y)),
+                              jnp.minimum(jnp.maximum(t1z, t2z),
+                                          t_live[sl]))
+            maybe = jnp.logical_not(near >= far) & live[sl]
+            pred = jnp.max(jnp.where(maybe, 1.0, 0.0)) > 0.0
+            cs = tuple(r[sl] for r in carry)
+            new = jax.lax.cond(
+                pred,
+                lambda cs_, _o=(osx, osy, osz), _sl=sl: mt_cols(
+                    _o[0], _o[1], _o[2],
+                    d.x[_sl], d.y[_sl], d.z[_sl], cs_),
+                lambda cs_: cs_, cs)
+            for i in range(6):
+                parts[i].append(new[i])
+        return tuple(jnp.concatenate(p, axis=1) for p in parts)
 
     init = (t_init, zero, zero, zero, zero, zero)
     t_best, won, nx_b, ny_b, nz_b, m_b = jax.lax.fori_loop(
@@ -572,8 +638,8 @@ def _bounce_kernel(counts, flags, state, *tabs_and_out,
 def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
                   num_samples, width, tile, n_rays, block_r,
                   has_spheres, has_planes, has_tris, n_clusters=0,
-                  block_l=0, tri_packed=False, fold_sky=False,
-                  early_exit=True):
+                  block_l=0, tri_packed=False, mt_slices=1,
+                  fold_sky=False, early_exit=True):
     """Ray generation + the full bounce loop for one ray block — ray state
     never leaves VMEM; only the 9 result rows (color, deferred-sky
     throughput and direction) are written back.  Small meshes (<=
@@ -678,7 +744,8 @@ def _trace_kernel(scal, scali, *tabs_and_out, num_bounces,
             t_t, n_raw, m_tri = _tris_clustered(
                 cl_table, cl_aabb, cl_order, o, d, alive,
                 jnp.minimum(t_s, t_p), n_clusters=n_clusters,
-                block_l=block_l, packed=tri_packed)
+                block_l=block_l, packed=tri_packed,
+                mt_slices=mt_slices)
             tri = (t_t, lambda pos, _n=n_raw, _m=m_tri: (_n, _m))
         o, d, seed, alive, mask, color, sky_mask, sky_dir = _bounce_body(
             o, d, seed, alive, mask, color, sky_mask, sky_dir,
@@ -835,6 +902,7 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         has_spheres=sph_tab is not None, has_planes=pln_tab is not None,
         has_tris=tri_tab is not None or cl is not None,
         n_clusters=n_clusters, block_l=block_l, tri_packed=tri_packed,
+        mt_slices=MEGA_MT_SLICES if n_clusters else 1,
         fold_sky=fold_sky, early_exit=scene.flags.sky_reachable)
 
     n_out = 3 if fold_sky else 9

@@ -53,6 +53,27 @@ def test_megakernel_clustered_mesh_matches_scan_path():
     _assert_close(a, b)
 
 
+def test_megakernel_mt_slice_gating_bit_identical(monkeypatch):
+    """mt_slices > 1 re-slabs clusters per static 128-lane ray slice and
+    skips slices with no interval under the live t — the canvas must be
+    BIT-IDENTICAL to the ungated form (per-column math, and skipped
+    slices provably hold no closer hit)."""
+    import simple_raytracer_tpu.ops.pallas.bounce_kernel as bok
+
+    def canvas():
+        scene, camera, options = CONFIGS[5](width=64, height=36)
+        ds = scene.build()
+        f = make_render_step(64, 36, 1, 3, tri_backend="fused",
+                             ray_tile=None, jit=False)
+        c = jnp.zeros((36, 64, 3), jnp.float32)
+        return np.asarray(f(ds, camera.state(64 / 36), c, jnp.uint32(41)))
+
+    a = canvas()
+    monkeypatch.setattr(bok, "MEGA_MT_SLICES", 4)
+    b = canvas()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_megakernel_packed_table_bit_identical(monkeypatch):
     """Big-mesh megakernel form: when the row table outgrows VMEM
     residence, the kernel traverses the PACKED transposed table (one
