@@ -22,7 +22,10 @@ import simple_raytracer_tpu.ops.pallas.bvh_kernel as bk
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
 
-def run(label, k, backend, strip_packed=False, prepass="super"):
+def run(label, k, backend, strip_packed=False, prepass="super",
+        mt_slices=1):
+    import simple_raytracer_tpu.ops.pallas.bounce_kernel as bok
+    bok.MEGA_MT_SLICES = mt_slices
     scene, camera, _ = CONFIGS[6]()
     scene.cluster_size = k
     orig = bk.intersect_triangles_bvh
@@ -47,6 +50,8 @@ def run(label, k, backend, strip_packed=False, prepass="super"):
 
 if __name__ == "__main__":
     run("mega K=128", None, "auto")
+    run("mega K=128 s4", None, "auto", mt_slices=4)
+    run("mega K=128 s12", None, "auto", mt_slices=12)
     run("split K=128", None, "bvh")
     run("split K=128 2lv", None, "bvh", prepass="group")
     run("split K=64", 64, "bvh")
