@@ -50,6 +50,21 @@ kernel).  Four structural changes, each fixing a measured bottleneck:
    orientation with triangle attributes as (K, 1) sublane columns sliced
    straight from the (C*K, 128) table.
 
+5. **A PACKED transposed table for streaming** (round 3).  The (K, 128)
+   row layout wastes 107 of 128 lanes per DMA'd row (512 B/triangle for
+   84 B of data); `table_tr` packs each cluster as one (24, 128) tile —
+   attributes on sublanes, triangles on lanes, 96 B/triangle — and the
+   kernel restores MT orientation with one exact one-hot MXU transpose
+   per visited cluster (`_tile_transpose`).  The same layout gives the
+   megakernel VMEM residence up to ~109K triangles
+   (bounce_kernel.MEGA_PACKED_MAX_CLUSTERS).
+
+6. **Optional two-level prepass** (round 3).  `prepass_level="group"`
+   moves the dense XLA slab from superclusters (16 clusters) to GROUPS
+   of 16 supers — ~15x less prepass work at 82K triangles — and refines
+   groups -> supers -> children with two in-kernel slab levels.
+   Result-identical either way.
+
 Culling is conservative exactly like the reference's AABB gate
 (render.cl:316-331): a cluster is visited if ANY ray in the block might
 hit it, NaN slab results count as hits, and misses only skip work —
