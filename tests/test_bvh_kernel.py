@@ -159,6 +159,33 @@ def test_hbm_variant_matches_vmem(with_attrs, packed, prepass_level):
     assert (np.asarray(a[1]) >= 0).any()   # some triangle wins exercised
 
 
+def test_hbm_packed_k64_matches_vmem():
+    """K=64 clusters fill only half the packed tile's lanes (the rest
+    carry active=0) — the streaming kernel must still match the VMEM
+    path bit-exactly."""
+    pos, nrm = icosphere(subdivisions=2)
+    sc = Scene()
+    sc.cluster_threshold = 64
+    sc.cluster_size = 64
+    span = sc.pool.append(pos, nrm)
+    sc.add_model(span)
+    ds = sc.build()
+    cl = ds.triangles.clusters
+    assert cl.table_t.shape[0] // cl.aabb.shape[0] == 64
+    o, d = _rays(512, seed=13)
+    alive = jnp.ones_like(o.x)
+    t_init = jnp.full_like(o.x, jnp.inf)
+    a = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb, cl.table_t,
+                                block_r=128, interpret=True,
+                                with_attrs=True, hbm_table=False)
+    b = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb, cl.table_t,
+                                block_r=128, interpret=True,
+                                with_attrs=True, hbm_table=True,
+                                table_tr=cl.table_tr)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_packed_table_layout():
     """table_tr holds exactly table_t's 21 attribute columns, transposed
     per cluster (attributes on sublanes, triangles on lanes)."""
