@@ -392,12 +392,15 @@ def _tile_transpose(tile):
     or x*0 and each output sums one nonzero term — the same argument as
     the attr-extraction matmul above) and lowers to a single MXU pass;
     ``lax.transpose`` would lower to a Mosaic relayout inside the
-    dynamic-trip DMA loop instead."""
+    dynamic-trip DMA loop instead.  Written as tile^T @ eye via the
+    (((0,), (0,))) contraction — the one dot_general form this kernel
+    already ships on TPU (_mt_update's attr extraction)."""
+    k = tile.shape[0]
     eye = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1), 1.0, 0.0)
+        jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (k, k), 1), 1.0, 0.0)
     return jax.lax.dot_general(
-        eye, tile, (((1,), (1,)), ((), ())),
+        tile, eye, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)
 
