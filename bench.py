@@ -1,53 +1,36 @@
 #!/usr/bin/env python
 """Headline benchmark: Mrays/sec/chip at 4-bounce (BASELINE.md target: 100).
 
-Measures ALL FIVE BASELINE configs at 1080p, 1 sample/pixel/pass,
-4 bounces, and reports steady-state throughput in million ray segments
-per second (W*H*samples*bounces / step time) on the current default JAX
-device.  The headline metric stays config 2 (four-sphere materials) for
+Measures ALL SIX configs (the five BASELINE scenes + the 82K-triangle
+large-mesh scene) at 1080p, 1 sample/pixel/pass, 4 bounces, and reports
+steady-state throughput in million ray segments per second
+(W*H*samples*bounces / step time) on the current default JAX device.
+The headline metric stays config 2 (four-sphere materials) for
 round-to-round continuity; the per-config numbers live in "extra" so the
-weak axis (mesh scenes, configs 4/5) is captured too.  Prints exactly one
-JSON line.
+weak axes (mesh scenes, textured skybox) are captured too.  Prints
+exactly one JSON line.
+
+Every measurement runs in its OWN subprocess with a hard wall-clock
+bound: `import jax` can hang before any user code runs (the axon
+sitecustomize claims the TPU pool at interpreter start, and a wedged
+pool blocks the claim forever — observed 2026-08-17), and a SIGALRM
+in-process cannot interrupt a hang inside a C-level XLA compile or
+device call.  A subprocess + kill is the only bound that actually
+holds; the persistent compilation cache keeps the per-process compile
+cost to the first run only.
 """
 import json
-import signal
 import subprocess
 import sys
-import time
 
-
-def _device_probe(timeout_s: float = 300.0) -> str:
-    """`import jax` can HANG here before any user code runs: the axon
-    sitecustomize claims the TPU pool at interpreter start, and a dead
-    relay blocks the claim forever (observed 2026-08-17: a killed remote
-    compile wedged the pool for hours).  Probe in a subprocess with a
-    hard timeout so the bench prints an honest failure line instead of
-    silence."""
-    try:
-        p = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=timeout_s)
-        if p.returncode == 0:
-            return p.stdout.strip().splitlines()[-1]
-        return f"error: rc={p.returncode} {p.stderr[-200:]}"
-    except subprocess.TimeoutExpired:
-        return "timeout"
-
-
-_platform = _device_probe()
-if _platform in ("timeout",) or _platform.startswith("error"):
-    print(json.dumps({
-        "metric": "Mrays/sec/chip (4-bounce, 1080p, four-sphere scene)",
-        "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
-        "extra": {"error": f"device unavailable: {_platform}"}}))
-    sys.exit(0)
-
-import jax  # noqa: E402
+CONFIG_TIMEOUT_S = 1500.0
 
 
 def bench_config(n: int, width=1920, height=1080, samples=1, bounces=4,
                  iters=10, warmup=3) -> dict:
+    """Measure one config IN-PROCESS (child-mode entry; also importable
+    by scripts/gen_perf_table.py, which runs all configs in one process
+    so the README table is definitionally same-run-class as the bench)."""
     from simple_raytracer_tpu.engine import Renderer, RenderOptions
     from simple_raytracer_tpu.models.presets import CONFIGS
 
@@ -63,30 +46,58 @@ def bench_config(n: int, width=1920, height=1080, samples=1, bounces=4,
     }
 
 
-class _Timeout(Exception):
-    pass
+def _bench_config_subprocess(n: int) -> dict:
+    try:
+        p = subprocess.run(
+            [sys.executable, __file__, "--config", str(n)],
+            capture_output=True, text=True, timeout=CONFIG_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return {"mrays_per_second": 0.0, "seconds_per_step": None,
+                "vs_baseline": 0.0,
+                "error": f"timeout ({CONFIG_TIMEOUT_S:.0f}s)"}
+    if p.returncode != 0:
+        return {"mrays_per_second": 0.0, "seconds_per_step": None,
+                "vs_baseline": 0.0,
+                "error": f"rc={p.returncode} {p.stderr[-300:]}"}
+    try:
+        return json.loads(p.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return {"mrays_per_second": 0.0, "seconds_per_step": None,
+                "vs_baseline": 0.0,
+                "error": f"unparseable output: {p.stdout[-300:]}"}
 
 
-def _alarm(signum, frame):
-    raise _Timeout()
+def _device_string() -> str:
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True, timeout=300.0)
+        if p.returncode == 0:
+            return p.stdout.strip().splitlines()[-1]
+        return f"error: rc={p.returncode} {p.stderr[-200:]}"
+    except subprocess.TimeoutExpired:
+        return "timeout"
 
 
 def main():
-    # headline config first, each config under its own wall-clock bound:
-    # a single pathological compile or a wedged device must degrade one
-    # entry, not turn the whole bench into silence
-    signal.signal(signal.SIGALRM, _alarm)
+    if "--config" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--config") + 1])
+        print(json.dumps(bench_config(n)))
+        return 0
+
+    device = _device_string()
+    if device in ("timeout",) or device.startswith("error"):
+        print(json.dumps({
+            "metric": "Mrays/sec/chip (4-bounce, 1080p, four-sphere scene)",
+            "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
+            "extra": {"error": f"device unavailable: {device}"}}))
+        return 0
+
+    # headline config first: if the device wedges mid-bench, the most
+    # important number is already in hand and the rest degrade per-config
     per_config = {}
     for n in (2, 1, 3, 4, 5, 6):
-        signal.alarm(1500)
-        try:
-            per_config[f"config{n}"] = bench_config(n)
-        except _Timeout:
-            per_config[f"config{n}"] = {
-                "mrays_per_second": 0.0, "seconds_per_step": None,
-                "vs_baseline": 0.0, "error": "timeout (1500s)"}
-        finally:
-            signal.alarm(0)
+        per_config[f"config{n}"] = _bench_config_subprocess(n)
 
     headline = per_config["config2"]
     mrays = headline["mrays_per_second"]
@@ -100,13 +111,14 @@ def main():
         "extra": {
             "spp_per_second_1080p": round(spp_1080p, 2),
             "seconds_per_step": headline["seconds_per_step"],
-            "device": str(jax.devices()[0]),
+            "device": device,
             "configs_1080p_1spp_4bounce": per_config,
             "min_config_mrays": min(c["mrays_per_second"]
                                     for c in per_config.values()),
         },
     }
     print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":

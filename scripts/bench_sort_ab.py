@@ -17,14 +17,18 @@ from simple_raytracer_tpu.engine import Renderer, RenderOptions
 from simple_raytracer_tpu.models.presets import CONFIGS
 
 
-def run(label, force_off):
+def run(label, sort):
+    # Force the split BVH path (tri_backend="bvh"): config 6's packed
+    # table fits the megakernel's VMEM budget, so the default "auto"
+    # route never calls intersect_triangles_bvh and both legs would
+    # measure identical code.  The sort is off by default, so the
+    # sorted leg must request it explicitly.
     orig = bk.intersect_triangles_bvh
-    if force_off:
-        bk.intersect_triangles_bvh = functools.partial(orig, sort_rays=False)
+    bk.intersect_triangles_bvh = functools.partial(orig, sort_rays=sort)
     try:
         scene, camera, _ = CONFIGS[6]()
         opts = RenderOptions(width=1920, height=1080, num_samples=1,
-                             num_bounces=4)
+                             num_bounces=4, tri_backend="bvh")
         r = Renderer(opts, scene=scene)
         stats = r.benchmark_step(camera, iters=8, warmup=2)
     finally:
@@ -37,5 +41,5 @@ def run(label, force_off):
 
 
 if __name__ == "__main__":
-    run("sorted", force_off=False)
-    run("unsorted", force_off=True)
+    run("sorted", sort=True)
+    run("unsorted", sort=False)

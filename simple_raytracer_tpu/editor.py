@@ -226,7 +226,7 @@ class SceneEditor:
         lst = getattr(self.scene, _KINDS[kind])
         try:
             to = int(cmd["to"])
-        except (KeyError, ValueError):
+        except (KeyError, ValueError, TypeError):
             raise EditError("reorder needs an integer 'to' position") from None
         to = max(0, min(len(lst) - 1, to))
         lst.remove(shape)
@@ -237,7 +237,7 @@ class SceneEditor:
         shape, _ = self._shape(cmd)
         try:
             self.scene.set_material(shape, int(cmd["material"]))
-        except (KeyError, ValueError, IndexError):
+        except (KeyError, ValueError, TypeError, IndexError):
             raise EditError(
                 f"bad material index {cmd.get('material')!r}") from None
         return {}

@@ -91,7 +91,7 @@ class Scene:
         self.sky_reachable: bool = True
         self._box_span: Optional[Tuple[int, int]] = None
         self._cluster_topo = None   # (key, accel.Clusters) refit cache
-        self._skybox_dev = None     # (id(self.skybox), device rep) cache
+        self._skybox_dev = None     # (skybox array ref, device rep) cache
         if default_material:
             # default scene has one white diffuse "Material0" (main.cpp:100)
             self.materials.push(Material(), "Material0")
@@ -399,9 +399,11 @@ class Scene:
             return None
         # memoized per image object: packing checks the whole texture and
         # device upload moves tens of MB — interactive edits that don't
-        # touch the skybox shouldn't repay either
-        key = id(self.skybox)
-        if self._skybox_dev is not None and self._skybox_dev[0] == key:
+        # touch the skybox shouldn't repay either.  The cache holds a
+        # strong reference to the exact array object and compares with
+        # `is` (an id() key alone can collide when CPython reuses a freed
+        # array's address for the replacement image).
+        if self._skybox_dev is not None and self._skybox_dev[0] is self.skybox:
             return self._skybox_dev[1]
         img = np.asarray(self.skybox, np.float32)
         from ..ops.sky import pack_skybox_quad
@@ -409,5 +411,5 @@ class Scene:
         if dev is None:
             dev = Vec3(jnp.asarray(img[..., 0]), jnp.asarray(img[..., 1]),
                        jnp.asarray(img[..., 2]))
-        self._skybox_dev = (key, dev)
+        self._skybox_dev = (self.skybox, dev)
         return dev

@@ -896,13 +896,21 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
     inputs.append(mat_tab)
     in_specs.append(whole(mat_tab))
 
+    mt_slices = MEGA_MT_SLICES if n_clusters else 1
+    if mt_slices != 1 and (mt_slices < 1
+                           or (block_r // 128) % mt_slices != 0):
+        # validate the env knob HERE: an invalid value otherwise dies
+        # deep in the pallas trace as an opaque concat-shape mismatch
+        raise ValueError(
+            f"SRT_MEGA_MT_SLICES={mt_slices} must be >= 1 and divide "
+            f"block_r/128 = {block_r // 128} (128-lane slice alignment)")
     kernel = functools.partial(
         _trace_kernel, num_bounces=num_bounces, num_samples=num_samples,
         width=width, tile=ray_tile, n_rays=n_rays, block_r=block_r,
         has_spheres=sph_tab is not None, has_planes=pln_tab is not None,
         has_tris=tri_tab is not None or cl is not None,
         n_clusters=n_clusters, block_l=block_l, tri_packed=tri_packed,
-        mt_slices=MEGA_MT_SLICES if n_clusters else 1,
+        mt_slices=mt_slices,
         fold_sky=fold_sky, early_exit=scene.flags.sky_reachable)
 
     n_out = 3 if fold_sky else 9

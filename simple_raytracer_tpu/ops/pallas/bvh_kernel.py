@@ -803,11 +803,8 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     if hbm_table:
         # HBM path: the XLA prepass gates SUPERCLUSTERS (groups of
         # _SUPER, boxes built above); the kernel refines to children.
-        c_pad = super_aabb.shape[0] * _SUPER
-        aabb_pad = jnp.concatenate(
-            [aabb, jnp.full((c_pad - n_clusters, 8), 3.0e38, jnp.float32
-                            ).at[:, 6:].set(0.0)]) \
-            if c_pad > n_clusters else aabb
+        # c_pad / aabb_pad carry over from the super-box construction
+        # above (same quantum, same sentinel rows).
         visits, counts = _visit_prepass(o, d, alive, t_init, top_aabb,
                                         block_r, pad_r)
         n_sub = block_r // _SUB

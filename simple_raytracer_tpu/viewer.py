@@ -192,12 +192,20 @@ function renderShapes() {
       let src = null;
       try { src = JSON.parse(data).shape; } catch (e) {}
       if (src && src.kind === s.kind) {
-        const wasSel = sel && sel.kind === src.kind &&
-                       sel.index === src.index;
         const j = await edit({op:'reorder_shape', kind:src.kind,
                               index:src.index, to:s.index});
-        if (wasSel && j.ok) { sel.index = j.index;
-                              renderShapes(); renderSelected(); }
+        // A move shifts the index of EVERY same-kind shape between the
+        // source and destination rows, not just the dragged one — repair
+        // whichever selection the shift touched so later gizmo drags /
+        // nudges / material drops keep editing the same shape.
+        if (j.ok && sel && sel.kind === src.kind) {
+          if (sel.index === src.index) sel.index = j.index;
+          else if (src.index < sel.index && sel.index <= j.index)
+            sel.index -= 1;
+          else if (j.index <= sel.index && sel.index < src.index)
+            sel.index += 1;
+          renderShapes(); renderSelected();
+        }
         return;
       }
       const mi = parseInt(data);

@@ -216,11 +216,12 @@ _DCN_WORKER = """
 import sys
 proc_id = int(sys.argv[1])
 out_dir = sys.argv[2]
+port = int(sys.argv[3])
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
 from simple_raytracer_tpu.parallel import distributed
-distributed.initialize(coordinator_address="localhost:19277",
+distributed.initialize(coordinator_address="localhost:%d" % port,
                        num_processes=2, process_id=proc_id)
 assert jax.process_count() == 2 and distributed.is_multiprocess()
 assert len(jax.local_devices()) == 4 and len(jax.devices()) == 8
@@ -264,8 +265,15 @@ def test_distributed_two_process_render(tmp_path):
     env = dict(os.environ,
                PYTHONPATH=sysconfig.get_paths()["purelib"] + os.pathsep + repo)
     env.pop("JAX_PLATFORMS", None)
+    # A fixed coordinator port collides across concurrent runs (xdist,
+    # parallel CI jobs): let the OS pick a free one.  The tiny race
+    # between close() and the coordinator's bind is acceptable for a test.
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     procs = [subprocess.Popen(
-        [sys.executable, "-S", str(worker), str(i), str(tmp_path)],
+        [sys.executable, "-S", str(worker), str(i), str(tmp_path), str(port)],
         env=env, cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True) for i in range(2)]
     outs = [p.communicate(timeout=280) for p in procs]

@@ -143,3 +143,32 @@ def test_rotate_and_scale_shape_ops():
     with pytest.raises(EditError):
         ed.apply({"op": "rotate_shape", "kind": "model", "index": 0,
                   "axis": [0, 0, 0], "angle": 1.0})
+
+
+def test_skybox_swap_invalidates_device_cache():
+    """Replacing scene.skybox with a NEW array must rebuild the device
+    texture: the cache compares the array object itself (`is`), not a
+    bare id() key — id reuse after the old array is freed must not
+    resurrect the stale texture."""
+    import numpy as np
+    from simple_raytracer_tpu.models.scene import Scene
+    from simple_raytracer_tpu.ops.scene_types import SkyboxTex
+
+    sc = Scene()
+
+    def flat(val):
+        u8 = np.full((4, 8, 3), val, np.uint8)
+        return np.power(u8.astype(np.float32) / 255.0, np.float32(2.2),
+                        dtype=np.float32)
+
+    sc.skybox = flat(10)
+    tex_a = sc.build().skybox
+    assert isinstance(tex_a, SkyboxTex)
+    # same object -> cache hit (identical device rep)
+    assert sc.build().skybox is tex_a
+    # drop the old array and install a fresh one (new contents): a stale
+    # id()-keyed cache could collide here when CPython reuses the address
+    sc.skybox = flat(200)
+    tex_b = sc.build().skybox
+    assert tex_b is not tex_a
+    assert not np.array_equal(np.asarray(tex_b.quad), np.asarray(tex_a.quad))
