@@ -360,3 +360,8 @@ def test_reorder_shape(server):
     assert r["ok"] and r["index"] == 2
     r = _edit(srv, {"op": "reorder_shape", "kind": "sphere", "index": 0})
     assert not r["ok"] and "to" in r["error"]
+    # JSON null 'to' must surface as the same structured error, not an
+    # uncaught TypeError aborting the request
+    r = _edit(srv, {"op": "reorder_shape", "kind": "sphere", "index": 0,
+                    "to": None})
+    assert not r["ok"] and "to" in r["error"]
