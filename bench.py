@@ -46,25 +46,24 @@ def bench_config(n: int, width=1920, height=1080, samples=1, bounces=4,
     }
 
 
+def _err(msg: str) -> dict:
+    return {"mrays_per_second": 0.0, "seconds_per_step": None,
+            "vs_baseline": 0.0, "error": msg}
+
+
 def _bench_config_subprocess(n: int) -> dict:
     try:
         p = subprocess.run(
             [sys.executable, __file__, "--config", str(n)],
             capture_output=True, text=True, timeout=CONFIG_TIMEOUT_S)
     except subprocess.TimeoutExpired:
-        return {"mrays_per_second": 0.0, "seconds_per_step": None,
-                "vs_baseline": 0.0,
-                "error": f"timeout ({CONFIG_TIMEOUT_S:.0f}s)"}
+        return _err(f"timeout ({CONFIG_TIMEOUT_S:.0f}s)")
     if p.returncode != 0:
-        return {"mrays_per_second": 0.0, "seconds_per_step": None,
-                "vs_baseline": 0.0,
-                "error": f"rc={p.returncode} {p.stderr[-300:]}"}
+        return _err(f"rc={p.returncode} {p.stderr[-300:]}")
     try:
         return json.loads(p.stdout.strip().splitlines()[-1])
     except (ValueError, IndexError):
-        return {"mrays_per_second": 0.0, "seconds_per_step": None,
-                "vs_baseline": 0.0,
-                "error": f"unparseable output: {p.stdout[-300:]}"}
+        return _err(f"unparseable output: {p.stdout[-300:]}")
 
 
 def _device_string() -> str:

@@ -1,9 +1,12 @@
 """A/B the per-bounce ray coherence sort on the HBM BVH path (config 6).
 
 Runs the bench-shape config-6 step (1920x1080, 1 spp, 4 bounces) twice on
-the current device: once with the sort (default for HBM tables) and once
-with it forced off, using engine.benchmark_step's chained-iteration
-methodology.  One-off diagnostic; keep for regression hunts.
+the current device: once with the sort explicitly enabled and once with
+the production default (sort OFF — measured 13x slower when on, see
+bvh_kernel._sort_rays_by_super), forcing tri_backend="bvh" so both legs
+actually exercise intersect_triangles_bvh.  Uses engine.benchmark_step's
+chained-iteration methodology.  One-off diagnostic; keep for regression
+hunts.
 """
 import functools
 import json

@@ -229,7 +229,10 @@ class SceneEditor:
         except (KeyError, ValueError, TypeError):
             raise EditError("reorder needs an integer 'to' position") from None
         to = max(0, min(len(lst) - 1, to))
-        lst.remove(shape)
+        # pop by INDEX: dataclass shapes compare by value, so with a
+        # duplicated shape list.remove(shape) deletes the first EQUAL
+        # element, corrupting the list (same hazard _index_of documents)
+        lst.pop(int(cmd["index"]))
         lst.insert(to, shape)
         return {"index": to}
 

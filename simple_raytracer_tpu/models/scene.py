@@ -394,8 +394,12 @@ class Scene:
 
     def _build_skybox(self):
         # None selects the analytic gradient sky (render.cl:381-389) —
-        # pure arithmetic, no texture gather
+        # pure arithmetic, no texture gather.  Drop the cache too: it
+        # holds a strong reference to the old host image + device
+        # texture, which would otherwise stay pinned for the Scene's
+        # lifetime after the skybox is cleared.
         if self.skybox is None:
+            self._skybox_dev = None
             return None
         # memoized per image object: packing checks the whole texture and
         # device upload moves tens of MB — interactive edits that don't

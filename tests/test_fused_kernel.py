@@ -75,7 +75,6 @@ def test_megakernel_mt_slice_gating_bit_identical(monkeypatch):
 
     # an mt_slices value that cannot 128-lane-align its slices must fail
     # LOUDLY at kernel construction, not deep inside the pallas trace
-    import pytest
     monkeypatch.setattr(bok, "MEGA_MT_SLICES", 5)
     with pytest.raises(ValueError, match="SRT_MEGA_MT_SLICES"):
         canvas()

@@ -172,3 +172,26 @@ def test_skybox_swap_invalidates_device_cache():
     tex_b = sc.build().skybox
     assert tex_b is not tex_a
     assert not np.array_equal(np.asarray(tex_b.quad), np.asarray(tex_a.quad))
+
+
+def test_reorder_with_duplicate_shapes_moves_the_indexed_object():
+    """Dataclass shapes compare by VALUE, so a reorder that removed by
+    equality (list.remove) would delete the first equal element when a
+    duplicate exists — aliasing one object at two indices and losing the
+    original.  Reorder must pop by index."""
+    from simple_raytracer_tpu.editor import SceneEditor
+
+    sc = Scene()
+    ed = SceneEditor(sc, on_change=lambda: None)
+    ed.apply({"op": "add_sphere", "position": [0, 0, -3], "radius": 1.0})
+    ed.apply({"op": "add_sphere", "position": [2, 0, -3], "radius": 0.5})
+    ed.apply({"op": "duplicate_shape", "kind": "sphere", "index": 0})
+    ids = [id(s) for s in sc.spheres]
+    assert len(set(ids)) == 3            # three DISTINCT objects
+
+    r = ed.apply({"op": "reorder_shape", "kind": "sphere", "index": 2,
+                  "to": 0})
+    assert r["ok"] and r["index"] == 0
+    new_ids = [id(s) for s in sc.spheres]
+    assert len(set(new_ids)) == 3        # still three distinct objects
+    assert new_ids == [ids[2], ids[0], ids[1]]
