@@ -8,11 +8,17 @@
 //     DFS-ordered node array with skip links (the layout the Pallas packet
 //     traversal kernel consumes), with leaf triangle ranges contiguous
 //     after an in-place triangle reorder
-//   * binary STL triangle parsing
-//   * world-space triangle transform + AABB recompute
+//   * binary STL triangle parsing (wired into io/stl.py's loader; a pure
+//     byte reinterpretation, so it is BIT-exact with the NumPy fallback)
+//   * world-space triangle transform + AABB recompute — an optional fast
+//     path exposed through accel.transform_triangles.  NOT wired into
+//     Model.world_triangles: its scalar FMA ordering differs from the
+//     NumPy matmul in final float LSBs, and the golden-image determinism
+//     contract (SURVEY §4) requires the scene compile to be independent
+//     of whether this library is present.
 //
 // Exposed as a C ABI for ctypes; ships alongside a pure-Python fallback
-// (simple_raytracer_tpu/accel.py) with identical outputs.
+// (simple_raytracer_tpu/accel.py).
 
 #include <algorithm>
 #include <cstdint>
@@ -191,9 +197,9 @@ extern "C" {
 
 // Build a BVH over `n` triangles given as (n, 3, 3) float32 vertex
 // positions.  Outputs (caller-allocated, sizes via srt_bvh_node_bound):
-//   nodes_out:  (num_nodes, 8) f32: [min.xyz, max.xyz, a, b] where for an
-//               inner node a = skip index (DFS exit), b = -1; for a leaf
-//               a = skip index, b encodes (first << 1 | 1) ... see layout
+//   nodes_out:  (num_nodes, 8) f32: [min.xyz, max.xyz, pad, pad] — the
+//               two trailing columns are zero padding (8-wide rows keep
+//               the array sublane-aligned for the device tables)
 //   meta_out:   (num_nodes, 4) i32: [skip, first, count, is_leaf]
 //   order_out:  (n,) i32: reordered triangle order (leaf ranges contiguous)
 // Returns the number of nodes, or -1 on error.
@@ -221,8 +227,6 @@ int32_t srt_bvh_build(const float *tris, int32_t n, int32_t leaf_size,
 
   // flatten to DFS order with skip links
   int num = (int)b.nodes.size();
-  std::vector<int32_t> dfs_index(num, -1);
-  std::vector<int32_t> stack;
   // build-time order IS DFS preorder (build() pushes parent before
   // recursing), so node i's DFS index is i already.
   // skip link of node i = next sibling-or-ancestor-sibling in preorder:

@@ -50,6 +50,17 @@ class RenderOptions:
     all_devices: bool = False
 
 
+def _resolve_ray_tile(ray_tile, rows: int, width: int):
+    """'auto' -> (8, 64) screen tiles when the row count (full height, or
+    the per-device band under all_devices) and width divide evenly; any
+    explicit value passes through.  The single source of the rule — the
+    renderer, the sharded renderer and benchmark_step must all agree or
+    they'd measure/accumulate in different canvas layouts."""
+    if ray_tile == "auto":
+        return (8, 64) if rows % 8 == 0 and width % 64 == 0 else None
+    return ray_tile
+
+
 class Renderer:
     """Progressive path tracer with persistent device-side state."""
 
@@ -69,10 +80,8 @@ class Renderer:
                     f"--all-devices: height {options.height} must divide "
                     f"by the {n} local devices (pick a multiple of {n})")
             band = options.height // n
-            ray_tile = options.ray_tile
-            if ray_tile == "auto":
-                ray_tile = ((8, 64) if band % 8 == 0
-                            and options.width % 64 == 0 else None)
+            ray_tile = _resolve_ray_tile(options.ray_tile, band,
+                                         options.width)
             # per-band tile order composes into the global (H, W) untile
             # at image time (band_h % th == 0, so band boundaries align
             # with row-tile boundaries)
@@ -86,10 +95,8 @@ class Renderer:
                     tri_backend=options.tri_backend, ray_tile=ray_tile,
                     canvas_tiled=ray_tile is not None)
         else:
-            ray_tile = options.ray_tile
-            if ray_tile == "auto":
-                ray_tile = ((8, 64) if options.height % 8 == 0
-                            and options.width % 64 == 0 else None)
+            ray_tile = _resolve_ray_tile(options.ray_tile, options.height,
+                                         options.width)
             # internal canvases accumulate in ray-tile order: the untile
             # permutation (~1.4 ms/step at 1080p) runs once per fetched
             # image instead of once per step (tonemap is per-pixel)
@@ -232,10 +239,7 @@ class Renderer:
         o = self.options
         if self._mesh is not None:
             return self._benchmark_host_loop(camera, iters, warmup)
-        ray_tile = o.ray_tile
-        if ray_tile == "auto":
-            ray_tile = ((8, 64) if o.height % 8 == 0
-                        and o.width % 64 == 0 else None)
+        ray_tile = _resolve_ray_tile(o.ray_tile, o.height, o.width)
         from .ops.trace import make_render_step
         fn = make_render_step(o.width, o.height, o.num_samples,
                               o.num_bounces, show_normals=o.show_normals,
@@ -254,9 +258,13 @@ class Renderer:
                 return out[::97, ::97, :].sum()
             return chain
 
+        # one chain object per length: a fresh @jax.jit wrapper per loop
+        # iteration would re-trace (and possibly re-compile) the same
+        # chain twice for no measurement benefit
+        chains = {n: make_chain(n) for n in (n_lo, n_hi)}
         times = {}
         for n in (n_lo, n_hi, n_lo, n_hi):
-            chain = make_chain(n)
+            chain = chains[n]
             canvas = jnp.zeros((o.height, o.width, 3), jnp.float32)
             float(np.asarray(chain(scene, cam, canvas, jnp.uint32(1))))
             t0 = _time.perf_counter()

@@ -156,8 +156,18 @@ def load_hdr(path: os.PathLike) -> np.ndarray:
     new_rle = (8 <= w < 32768 and len(buf) >= 4 and buf[0] == 2
                and buf[1] == 2 and (int(buf[2]) << 8 | int(buf[3])) == w)
     if not new_rle:
-        # flat RGBE stream; expand old-style runs (r=g=b=1: repeat previous
-        # pixel count<<(8*shift) times)
+        # flat RGBE stream: when it contains no old-style run marker
+        # (r=g=b=1 is ALWAYS a marker in old-style decode, stb treats it
+        # unconditionally as a repeat), the image is a straight
+        # h*w*4-byte block — decode it in one reshape instead of the
+        # per-pixel expansion loop (minutes vs milliseconds on panoramas)
+        if len(buf) >= h * w * 4:
+            cand = buf[:h * w * 4].reshape(h * w, 4)
+            if not ((cand[:, 0] == 1) & (cand[:, 1] == 1)
+                    & (cand[:, 2] == 1)).any():
+                return _rgbe_to_float(cand.reshape(h, w, 4))
+        # expand old-style runs (r=g=b=1: repeat previous pixel
+        # count<<(8*shift) times)
         flat = []
         i = 0
         n_px = 0
@@ -183,6 +193,8 @@ def load_hdr(path: os.PathLike) -> np.ndarray:
 
     i = 0
     for y in range(h):
+        if i + 4 > len(buf):
+            raise ValueError(f"{path}: truncated pixel data at row {y}")
         if buf[i] != 2 or buf[i + 1] != 2:
             raise ValueError(f"{path}: bad scanline magic at row {y}")
         if (int(buf[i + 2]) << 8 | int(buf[i + 3])) != w:
@@ -191,15 +203,25 @@ def load_hdr(path: os.PathLike) -> np.ndarray:
         for c in range(4):
             x = 0
             while x < w:
+                if i >= len(buf):
+                    raise ValueError(
+                        f"{path}: truncated pixel data at row {y}")
                 count = int(buf[i])
+                if count == 0:
+                    # a zero count never advances x: corrupt stream
+                    raise ValueError(f"{path}: bad RLE count 0 at row {y}")
                 if count > 128:          # run: repeat one byte
+                    if i + 2 > len(buf) or x + count - 128 > w:
+                        raise ValueError(
+                            f"{path}: truncated pixel data at row {y}")
                     rgbe[y, x:x + count - 128, c] = buf[i + 1]
                     x += count - 128
                     i += 2
                 else:                    # literal: copy `count` bytes
+                    if i + 1 + count > len(buf) or x + count > w:
+                        raise ValueError(
+                            f"{path}: truncated pixel data at row {y}")
                     rgbe[y, x:x + count, c] = buf[i + 1:i + 1 + count]
                     x += count
                     i += 1 + count
-            if x != w:
-                raise ValueError(f"{path}: RLE overrun at row {y}")
     return _rgbe_to_float(rgbe)

@@ -32,15 +32,22 @@ def load_stl_model(path: os.PathLike,
     "Inexistant file" error, interface.cpp:277-290)."""
     try:
         with open(path, "rb") as f:
-            header = f.read(84)
-            if len(header) < 84:
-                return None
-            (count,) = struct.unpack_from("<I", header, 80)
-            data = np.frombuffer(f.read(count * _RECORD.itemsize),
-                                 dtype=_RECORD, count=count)
+            raw = f.read()
     except OSError:
         return None
+    if len(raw) < 84:
+        return None
 
+    # native parser when the library is built (bit-exact with the NumPy
+    # path below — it is a pure byte reinterpretation, no arithmetic;
+    # tests/test_accel.py pins the equality)
+    from .. import accel
+    parsed = accel.parse_stl_native(raw)
+    if parsed is not None:
+        return pool.append(*parsed)
+
+    (count,) = struct.unpack_from("<I", raw, 80)
+    data = np.frombuffer(raw, dtype=_RECORD, count=count, offset=84)
     pos = np.stack([data["v1"], data["v2"], data["v3"]], axis=1)
     nrm = np.repeat(data["normal"][:, None, :], 3, axis=1)
     return pool.append(pos.astype(np.float32), nrm.astype(np.float32))

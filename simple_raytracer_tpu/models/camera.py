@@ -59,8 +59,11 @@ class Camera:
         self.pitch += k * yrel
 
     def zoom(self, wheel: float) -> None:
-        """Mouse-wheel fov change in 1-degree steps (main.cpp:183-193)."""
-        self.fov += math.copysign(math.pi / 180.0, wheel)
+        """Mouse-wheel fov change, 1 degree PER WHEEL NOTCH
+        (main.cpp:186-193 applies 1 degree per SDL event; the HTTP
+        client batches notches per input tick, so the magnitude here is
+        the batched notch count, not just a direction)."""
+        self.fov += (math.pi / 180.0) * wheel
 
     def state(self, aspect_ratio: float) -> CameraState:
         """Device-facing traced camera parameters."""

@@ -91,6 +91,7 @@ class Scene:
         self.sky_reachable: bool = True
         self._box_span: Optional[Tuple[int, int]] = None
         self._cluster_topo = None   # (key, accel.Clusters) refit cache
+        self._auto_k = None         # (topo key, decided auto cluster K)
         self._skybox_dev = None     # (skybox array ref, device rep) cache
         if default_material:
             # default scene has one white diffuse "Material0" (main.cpp:100)
@@ -136,11 +137,17 @@ class Scene:
     # -- editing operations (the ImGui editor's verbs as API,
     #    interface.cpp:106-310) -------------------------------------------
     def remove_shape(self, shape) -> None:
-        """Delete a shape (the editor's per-row X button)."""
+        """Delete a shape (the editor's per-row X button).
+
+        Matches by IDENTITY, not equality: dataclass shapes compare by
+        value, so `lst.remove(shape)` would delete the first value-equal
+        element (removing the original instead of a duplicate) and a
+        Model's ndarray transform makes __eq__ raise outright."""
         for lst in (self.spheres, self.planes, self.models):
-            if shape in lst:
-                lst.remove(shape)
-                return
+            for i, s in enumerate(lst):
+                if s is shape:
+                    del lst[i]
+                    return
         raise ValueError("shape not in scene")
 
     def duplicate_shape(self, shape):
@@ -261,26 +268,57 @@ class Scene:
         clusters_soa = None
         if n >= self.cluster_threshold:
             from .. import accel
-            # auto K (see the cluster_size field comment): 64 while the
-            # row table stays VMEM-resident, 128 beyond so the packed
-            # tiles fill every lane and big meshes keep megakernel
-            # eligibility
             from ..ops.pallas.bvh_kernel import VMEM_TABLE_MAX_SLOTS
-            k_eff = self.cluster_size or (
-                64 if n <= VMEM_TABLE_MAX_SLOTS else 128)
+
+            def _padded_slots(c_raw: int, k: int) -> int:
+                """Table slots AFTER bucket padding (the shape the kernel
+                actually sees — mirrors the padding rule below)."""
+                c_cap = (_bucket(c_raw, minimum=8) if c_raw <= 512
+                         else ((c_raw + 127) // 128) * 128)
+                return c_cap * k
+
+            # auto K (see the cluster_size field comment): 64 while the
+            # PADDED row table stays VMEM-resident, 128 beyond so the
+            # packed tiles fill every lane and big meshes keep megakernel
+            # eligibility.  Cluster fill (~90%) and bucket padding mean
+            # the raw triangle count under-estimates the table, so the
+            # decision checks the post-clustering padded size and
+            # escalates; it is then cached per mesh topology so gizmo
+            # refits never flip K mid-drag (K is a jit cache key).
+            topo = (len(self.pool),
+                    tuple((m.triangle_index, m.num_triangles)
+                          for m in self.models))
+            k_eff = self.cluster_size
+            if not k_eff and self._auto_k is not None \
+                    and self._auto_k[0] == topo:
+                k_eff = self._auto_k[1]
             # BVH topology cache: with refit=True a transform-only edit
             # (gizmo drag) refits the cached tree in O(T) instead of a
             # full SAH rebuild — same coverage guarantees, degraded
             # spatial quality until the next full build()
-            key = (k_eff, len(self.pool),
-                   tuple((m.triangle_index, m.num_triangles)
-                         for m in self.models))
+            key = (k_eff, *topo)
             cached = self._cluster_topo
-            if refit and cached is not None and cached[0] == key:
+            if refit and k_eff and cached is not None and cached[0] == key:
                 cl = accel.refit_clusters(cached[1], pos)
-            else:
+            elif k_eff:
                 cl = accel.build_clusters(pos, k=k_eff)
                 self._cluster_topo = (key, cl)
+            elif n > VMEM_TABLE_MAX_SLOTS:
+                # even PERFECTLY filled K=64 clusters would overflow the
+                # budget (slots >= n): go straight to 128, no trial build
+                k_eff = 128
+                cl = accel.build_clusters(pos, k=k_eff)
+                self._auto_k = (topo, k_eff)
+                self._cluster_topo = ((k_eff, *topo), cl)
+            else:
+                cl = accel.build_clusters(pos, k=64)
+                k_eff = 64
+                if (_padded_slots(cl.slots.shape[0], 64)
+                        > VMEM_TABLE_MAX_SLOTS):
+                    cl = accel.build_clusters(pos, k=128)
+                    k_eff = 128
+                self._auto_k = (topo, k_eff)
+                self._cluster_topo = ((k_eff, *topo), cl)
             # bucket-pad the cluster count with point-at-infinity
             # sentinels (lo = hi = 3e38: empty slab interval for every
             # ray) so a transform edit that changes the raw cluster
@@ -406,7 +444,9 @@ class Scene:
         # touch the skybox shouldn't repay either.  The cache holds a
         # strong reference to the exact array object and compares with
         # `is` (an id() key alone can collide when CPython reuses a freed
-        # array's address for the replacement image).
+        # array's address for the replacement image).  Contract: REPLACE
+        # scene.skybox to change the environment; mutating the array in
+        # place keeps the identity and returns the cached texture.
         if self._skybox_dev is not None and self._skybox_dev[0] is self.skybox:
             return self._skybox_dev[1]
         img = np.asarray(self.skybox, np.float32)

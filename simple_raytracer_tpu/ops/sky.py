@@ -251,35 +251,6 @@ def sky_color(d: Vec3, sky: SkyParams, skybox) -> Vec3:
     return sample_equirect(skybox, u, v) + sun
 
 
-def procedural_skybox(height: int = 128, width: int = 256,
-                      horizon=(0x37 / 255, 0x4F / 255, 0x62 / 255),
-                      zenith=(0x11 / 255, 0x33 / 255, 0x4A / 255),
-                      ground=(0x77 / 255, 0x77 / 255, 0x77 / 255)) -> Vec3:
-    """Default environment when no skybox file is given.
-
-    Reconstructs the reference's commented-out analytic gradient
-    (render.cl:381-389) as a baked equirect image, using the surviving
-    SceneData horizon/zenith/ground defaults (main.cpp:120-126):
-      t = pow(smoothstep(0, 0.4, y), 0.35); sky = mix(horizon, zenith, t)
-      ground_to_sky = smoothstep(-0.01, 0, y); mix(ground, sky, g2s)
-    The image v axis is linear in direction.y (render.cl:391), bottom-up.
-    """
-    import numpy as np
-
-    v = (np.arange(height, dtype=np.float32) + 0.5) / height
-    y = v * 2.0 - 1.0
-
-    def smoothstep(e0, e1, x):
-        t = np.clip((x - e0) / (e1 - e0), 0.0, 1.0)
-        return t * t * (3.0 - 2.0 * t)
-
-    t = np.power(smoothstep(0.0, 0.4, y), 0.35)
-    g2s = smoothstep(-0.01, 0.0, y)
-    horizon = np.asarray(horizon, np.float32)
-    zenith = np.asarray(zenith, np.float32)
-    ground = np.asarray(ground, np.float32)
-    sky = horizon[None, :] + (zenith - horizon)[None, :] * t[:, None]
-    col = ground[None, :] + (sky - ground[None, :]) * g2s[:, None]
-    img = np.broadcast_to(col[:, None, :], (height, width, 3)).copy()
-    return Vec3(jnp.asarray(img[..., 0]), jnp.asarray(img[..., 1]),
-                jnp.asarray(img[..., 2]))
+# (A baked-image "procedural_skybox" used to live here; it duplicated
+# sky_gradient's math with no caller — the no-skybox path evaluates
+# sky_gradient analytically, which is both exact and gather-free.)

@@ -119,7 +119,11 @@ def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
                tri_chunk: int = 256, tri_backend: str = "auto") -> Vec3:
     """Trace the (R,) ray batch to completion; returns per-ray radiance."""
     if _fused_ok(scene, tri_backend, show_normals):
-        return trace_rays_fused(scene, o, d, seed, num_bounces)
+        # interpret-mode Pallas off-TPU (same auto-selection render_pass
+        # makes for the megakernel): a forced tri_backend="fused" on CPU
+        # would otherwise hit Mosaic lowering and fail to compile
+        return trace_rays_fused(scene, o, d, seed, num_bounces,
+                                interpret=jax.default_backend() != "tpu")
     n = o.x.shape[0]
     zeros = jnp.zeros((n,), jnp.float32)
     ones = jnp.ones((n,), jnp.float32)

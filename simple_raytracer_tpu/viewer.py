@@ -27,6 +27,7 @@ Run:  python -m simple_raytracer_tpu.viewer --config 2 --port 8008
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import io
 import json
 import threading
@@ -651,15 +652,22 @@ class RenderLoop:
         discarded by generation)."""
         base = self._pending_opts or self.renderer.options
         o = self.renderer.options
-        opts = RenderOptions(
-            width=base.width, height=base.height,
+        # dataclasses.replace: every field the panel does NOT edit
+        # (all_devices, tri_backend, ray_tile, ...) carries over — a
+        # field-list rebuild here once silently dropped all_devices,
+        # downgrading a sharded viewer to one device on any param edit
+        opts = dataclasses.replace(
+            base,
             num_samples=max(1, int(cmd.get("samples", base.num_samples))),
             num_bounces=max(1, int(cmd.get("bounces", base.num_bounces))),
-            show_normals=bool(cmd.get("show_normals", base.show_normals)),
-            tri_chunk=base.tri_chunk, tri_backend=base.tri_backend,
-            ray_tile=base.ray_tile)
+            show_normals=bool(cmd.get("show_normals", base.show_normals)))
         if opts == o:
-            self._pending_opts = None
+            # reverted to the live options: invalidate any in-flight
+            # compile by bumping the generation, or its stale renderer
+            # would still swap in when it finishes
+            if self._pending_opts is not None:
+                self._render_gen += 1
+                self._pending_opts = None
             return {"ok": True, "changed": False}
         self._render_gen += 1
         gen = self._render_gen
@@ -680,13 +688,15 @@ class RenderLoop:
                     self.renderer = renderer
                     self._pending_opts = None
                     self._dirty = True
+                    self.error = None   # a working compile clears old ones
             except Exception as e:              # surfaced via /state
                 with self._lock:
+                    if self._render_gen != gen:
+                        return  # superseded — its failure is irrelevant
                     # clear the never-applied opts so /state stops saying
                     # compiling and the next edit doesn't base off them
-                    if self._render_gen == gen:
-                        self._pending_opts = None
-                self.error = e
+                    self._pending_opts = None
+                    self.error = e
 
         threading.Thread(target=warm, daemon=True,
                          name="srt-render-compile").start()
@@ -888,8 +898,13 @@ class RenderLoop:
                 self._screenshot_requested = False
             if shoot:
                 from .io.image import save_ppm
-                save_ppm(self.screenshot_path, img)
-                self.screenshot_count += 1
+                try:
+                    save_ppm(self.screenshot_path, img)
+                    self.screenshot_count += 1
+                except OSError as e:
+                    # a bad --screenshot-path must not stop rendering;
+                    # report it like any other recoverable error
+                    self.error = e
             # FPS limiter (main.cpp:345-346: SDL_Delay to the cap)
             if self.fps_limit > 0:
                 budget = 1.0 / self.fps_limit - (time.perf_counter() - t0)
@@ -970,6 +985,12 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                 except EditError as e:
                     # the import popup's error-line contract
                     self._send_json({"ok": False, "error": str(e)})
+                except (TypeError, ValueError, KeyError) as e:
+                    # malformed payload values (null floats, short
+                    # vectors) keep the same structured contract rather
+                    # than aborting the request with a traceback
+                    self._send_json({"ok": False,
+                                     "error": f"bad payload: {e!r}"})
             elif self.path == "/pick":
                 hit = loop.pick(float(data.get("x", 0)),
                                 float(data.get("y", 0)))

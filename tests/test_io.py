@@ -316,3 +316,55 @@ def test_reference_skybox_asset_decodes():
     assert img.dtype == np.float32
     assert img.min() >= 0.0 and img.max() <= 1.0
     assert img.shape[0] >= 64 and img.shape[1] >= 128
+
+
+def test_hdr_flat_fast_path_and_marker_fallback(tmp_path):
+    """A flat (non-RLE) .hdr with no (1,1,1) marker decodes through the
+    one-reshape fast path; a stream containing old-style run markers
+    still expands correctly through the sequential fallback."""
+    import numpy as np
+    from simple_raytracer_tpu.io.image import load_hdr, _rgbe_to_float
+
+    # width 4 (< 8) forces the flat writer AND the flat reader
+    h, w = 3, 4
+    rng = np.random.default_rng(7)
+    rgbe = rng.integers(2, 255, (h, w, 4), np.uint8)  # no 1s -> no markers
+    p = tmp_path / "flat.hdr"
+    p.write_bytes(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+                  + f"-Y {h} +X {w}\n".encode() + rgbe.tobytes())
+    np.testing.assert_array_equal(load_hdr(p), _rgbe_to_float(rgbe))
+
+    # old-style run: pixel then (1,1,1,count) repeats it `count` times
+    px = np.array([40, 50, 60, 130], np.uint8)
+    stream = px.tobytes() + bytes([1, 1, 1, h * w - 1])
+    p2 = tmp_path / "runs.hdr"
+    p2.write_bytes(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+                   + f"-Y {h} +X {w}\n".encode() + stream)
+    img = load_hdr(p2)
+    assert img.shape == (h, w, 3)
+    assert (img == img.reshape(-1, 3)[0]).all()   # every pixel identical
+
+
+def test_hdr_corrupt_rle_raises_value_error(tmp_path):
+    """Truncated or corrupt new-RLE streams must raise the loader's
+    ValueError contract, not IndexError/broadcast errors."""
+    import numpy as np
+    import pytest
+    from simple_raytracer_tpu.io.image import load_hdr
+
+    h, w = 2, 16
+    head = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+            + f"-Y {h} +X {w}\n".encode())
+    magic = bytes([2, 2, w >> 8, w & 0xFF])
+
+    # truncated mid-scanline: one literal chunk of 16 promised, 3 given
+    p = tmp_path / "trunc.hdr"
+    p.write_bytes(head + magic + bytes([16]) + b"\x05\x06\x07")
+    with pytest.raises(ValueError, match="truncated"):
+        load_hdr(p)
+
+    # zero count never advances: corrupt
+    p2 = tmp_path / "zero.hdr"
+    p2.write_bytes(head + magic + bytes([0]) + bytes(w * 8))
+    with pytest.raises(ValueError, match="count 0"):
+        load_hdr(p2)

@@ -195,3 +195,59 @@ def test_reorder_with_duplicate_shapes_moves_the_indexed_object():
     new_ids = [id(s) for s in sc.spheres]
     assert len(set(new_ids)) == 3        # still three distinct objects
     assert new_ids == [ids[2], ids[0], ids[1]]
+
+
+def test_remove_shape_matches_by_identity():
+    """remove_shape must delete THE object, not the first value-equal
+    one: dataclass shapes compare by value (a duplicated sphere equals
+    its source) and a Model's ndarray transform makes == raise."""
+    from simple_raytracer_tpu.models.scene import Scene
+
+    sc = Scene()
+    s0 = sc.add_sphere((0, 0, -3), 1.0)
+    dup = sc.duplicate_shape(s0)
+    sc.remove_shape(dup)
+    assert sc.spheres == [s0] and sc.spheres[0] is s0
+
+    # two equal-except-transform boxes: Model.__eq__ raises on ndarray
+    # fields, so any equality-based membership test would crash here
+    b0 = sc.add_box((0, 0, -5))
+    b1 = sc.add_box((2, 0, -5))
+    sc.remove_shape(b1)
+    assert len(sc.models) == 1 and sc.models[0] is b0
+
+
+def test_auto_cluster_k_escalates_when_padded_table_leaves_vmem():
+    """The auto cluster-size decision is made from the PADDED table the
+    kernel actually sees: a mesh whose raw triangle count fits the VMEM
+    slot budget but whose bucket-padded K=64 table does not must pick
+    K=128 (the documented HBM-streaming choice), and the decision is
+    cached per topology so gizmo refits can't flip it (K is a jit key)."""
+    import numpy as np
+    from simple_raytracer_tpu.models.meshgen import torus
+    from simple_raytracer_tpu.models.scene import Scene
+    from simple_raytracer_tpu.models.shapes import Model
+    from simple_raytracer_tpu.ops.pallas.bvh_kernel import \
+        VMEM_TABLE_MAX_SLOTS
+
+    pos, nrm = torus(n_major=63, n_minor=62)       # 7812 < 8192 raw tris
+    sc = Scene()
+    start, count = sc.pool.append(pos, nrm)
+    sc.models.append(Model(material=0, triangle_index=start,
+                           num_triangles=count,
+                           transform=np.eye(4, dtype=np.float32)))
+    ds = sc.build()
+    cl = ds.triangles.clusters
+    k = sc._auto_k[1]
+    # invariant: K=64 only while the padded table is VMEM-resident
+    if cl.table_t.shape[0] > VMEM_TABLE_MAX_SLOTS:
+        assert k == 128
+    # this specific mesh is in the escalation band
+    assert k == 128
+
+    # refit reuses the cached decision and topology
+    topo_before = sc._cluster_topo[1]
+    sc.models[0].transform = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+    sc.build(refit=True)
+    assert sc._auto_k[1] == 128
+    assert sc._cluster_topo[1].slots is topo_before.slots  # topology kept

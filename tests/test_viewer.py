@@ -365,3 +365,44 @@ def test_reorder_shape(server):
     r = _edit(srv, {"op": "reorder_shape", "kind": "sphere", "index": 0,
                     "to": None})
     assert not r["ok"] and "to" in r["error"]
+
+
+def test_set_render_preserves_non_panel_fields_and_revert_cancels(server):
+    """_set_render must carry over RenderOptions fields the panel does
+    not edit (all_devices, tri_backend, ...), and reverting to the live
+    options while a compile is pending must invalidate that compile so
+    its stale renderer never swaps in."""
+    srv, loop = server
+    base = loop.renderer.options
+
+    r = _edit(srv, {"op": "set_render", "bounces": base.num_bounces + 1})
+    assert r["ok"] and r["changed"] and r["compiling"]
+    with loop._lock:
+        pend = loop._pending_opts
+        gen = loop._render_gen
+    assert pend is not None
+    # every non-panel field survives the rebuild
+    assert pend.all_devices == base.all_devices
+    assert pend.tri_backend == base.tri_backend
+    assert pend.ray_tile == base.ray_tile
+    assert pend.tri_chunk == base.tri_chunk
+    assert (pend.width, pend.height) == (base.width, base.height)
+
+    # revert to the live options: pending cleared AND generation bumped,
+    # so the in-flight compile is discarded when it finishes
+    r = _edit(srv, {"op": "set_render", "bounces": base.num_bounces})
+    assert r["ok"] and not r["changed"]
+    with loop._lock:
+        assert loop._pending_opts is None
+        assert loop._render_gen > gen
+
+    # the superseded compile must never install its renderer
+    deadline = time.time() + 240
+    while time.time() < deadline:
+        with loop._lock:
+            if loop._pending_opts is None and loop.renderer.options == base:
+                pass
+        if loop.renderer.options.num_bounces != base.num_bounces:
+            break
+        time.sleep(0.05)
+    assert loop.renderer.options == base
