@@ -107,14 +107,18 @@ def main(argv=None) -> int:
     else:
         from .models.presets import CONFIGS
         kwargs = {}
-        if args.config in (4, 5) and args.mesh_path:
+        if args.config in (4, 5, 6) and args.mesh_path:
             kwargs["mesh_path"] = args.mesh_path
         scene, camera, options = CONFIGS[args.config](**kwargs)
 
     if args.skybox:
         scene.skybox = load_skybox(args.skybox)
 
-    opt = dict(
+    # replace, don't rebuild: preset-supplied fields outside the CLI's
+    # flag set (tri_chunk, ray_tile, future options) must carry over
+    import dataclasses
+    options = dataclasses.replace(
+        options,
         width=args.width or options.width,
         height=args.height or options.height,
         num_samples=args.samples or options.num_samples,
@@ -123,7 +127,6 @@ def main(argv=None) -> int:
         tri_backend=args.tri_backend,
         all_devices=args.all_devices,
     )
-    options = RenderOptions(**opt)
     r = Renderer(options, scene=scene)
     if args.all_devices:
         print(f"srt-render: sharding over {r.num_devices} device(s)",
@@ -135,12 +138,20 @@ def main(argv=None) -> int:
                            "num_steps": int(data["num_steps"])})
 
     t0 = _time.perf_counter()
+    prev_ms = 0
     with profiler_trace(args.profile_dir):
         for i in range(args.steps):
             if args.wall_clock_seed:
-                t = int(_time.time() * 1000) & 0xFFFFFFFF or 1
+                # monotonic guard: steps dispatch asynchronously in well
+                # under a millisecond, and identical timestamps would
+                # collapse their RNG streams into duplicated samples
+                t = max(prev_ms + 1, int(_time.time() * 1000)) & 0xFFFFFFFF
+                t = t or 1
+                prev_ms = t
             elif args.time_seed is not None:
-                t = args.time_seed + i
+                # offset by the RESTORED step count so --load-state
+                # resumes don't replay the first run's exact seeds
+                t = args.time_seed + r.num_steps
             else:
                 t = None
             r.step(camera, time=t)
@@ -171,6 +182,10 @@ def main(argv=None) -> int:
         m = ray_throughput(options.width, options.height,
                            options.num_samples * args.steps,
                            options.num_bounces, dt)
+        # ray_throughput's seconds_per_step echoes its dt argument, which
+        # here is the WHOLE run; report the per-step figure every other
+        # producer of that key (benchmark_step, bench.py) reports
+        m["seconds_per_step"] = dt / max(args.steps, 1)
         m["total_seconds"] = dt
         m["steps"] = args.steps
         print(json.dumps(m))

@@ -35,7 +35,18 @@ def _parse_index_group(token: str) -> Tuple[int, Optional[int]]:
 
 
 def _adjust(index: int, length: int) -> int:
-    """1-based -> 0-based; negative indices count from the end."""
+    """1-based -> 0-based; negative indices count from the end.
+
+    Resolution is DEFERRED to after the whole file is read, against the
+    FINAL list lengths — exactly like the reference, which collects all
+    faces first and adjusts with the final vertices.size()
+    (parser.cpp:112-124).  The OBJ spec says negative indices are
+    relative to the list length at the face statement; files that
+    interleave v/f blocks with relative indices resolve differently
+    here, faithfully reproducing the reference's behavior.  (The
+    reference's `len - index + 1` negative formula itself lands out of
+    range — that arithmetic bug IS fixed here: -1 means the last
+    element.)"""
     return length + index if index < 0 else index - 1
 
 

@@ -290,6 +290,16 @@ def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
     interpolated from MT's (u, v) so the running state is just 6 rows:
     [t, won, nx, ny, nz, material].
 
+    Tie semantics: WITHIN a cluster the lowest slot (= lowest global
+    index after the BVH reorder) wins an exact-equal t; ACROSS clusters
+    the first visited cluster wins (strict <) — the 6-row carry has no
+    index to tie-break on, and carrying one would cost VMEM on every
+    scene for a coincident-duplicate-geometry edge case.  The megakernel
+    contract with the scan path is statistical agreement (RMSE bound),
+    not bit identity; the split kernel (bvh_kernel._mt_update), whose
+    contract IS bit identity with the dense path, tie-breaks on the
+    global index across clusters too.
+
     ``mt_slices`` > 1 re-slabs each surviving cluster against STATIC
     128-lane-aligned ray slices under the live t bound and runs
     Moller-Trumbore only on slices that pass — the megakernel analog of
@@ -330,7 +340,7 @@ def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
         far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                       jnp.maximum(t1y, t2y)),
                           jnp.minimum(jnp.maximum(t1z, t2z), t_best))
-        maybe = jnp.logical_not(near >= far) & live
+        maybe = jnp.logical_not(near > far) & live
         flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
         weights = (2.0 ** jax.lax.broadcasted_iota(
             jnp.int32, (8, 1), 0).astype(jnp.float32))
@@ -441,7 +451,7 @@ def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
                                           jnp.maximum(t1y, t2y)),
                               jnp.minimum(jnp.maximum(t1z, t2z),
                                           t_live[sl]))
-            maybe = jnp.logical_not(near >= far) & live[sl]
+            maybe = jnp.logical_not(near > far) & live[sl]
             pred = jnp.max(jnp.where(maybe, 1.0, 0.0)) > 0.0
             cs = tuple(r[sl] for r in carry)
             new = jax.lax.cond(

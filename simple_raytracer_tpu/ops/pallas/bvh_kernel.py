@@ -88,10 +88,16 @@ def _visit_prepass(o, d, alive, t_init, aabb: jnp.ndarray, block_r: int,
     """Rays x (C, 8) cluster AABBs -> per-block visit bitmask.
 
     Returns (visits (B, W) i32 bit-packed, counts (B,) i32).  A cluster is
-    visited by a block iff some live ray's slab interval [near, far) is
+    visited by a block iff some live ray's slab interval [near, far] is
     nonempty, with far capped by the ray's incoming best t.  The slab math
-    mirrors intersection_aabb (render.cl:279-290); `~(near >= far)` keeps
-    NaN results conservative (counted as hits).
+    mirrors intersection_aabb (render.cl:279-290) except the interval is
+    CLOSED: a perfectly flat cluster box (axis-aligned planar triangles —
+    a floor grid, a cube face) has near == far exactly at the hit, and
+    the reference's strict `tmin < tmax` would cull geometry the dense
+    path renders.  (The reference only gates whole models, which are
+    rarely flat; clusters subdivide meshes, which routinely are.)
+    `~(near > far)` also keeps NaN results conservative (counted as
+    hits).
 
     Everything is computed in (C, R) orientation — clusters on sublanes,
     rays on lanes — so the per-block reduction is a minor-axis reshape +
@@ -118,7 +124,7 @@ def _visit_prepass(o, d, alive, t_init, aabb: jnp.ndarray, block_r: int,
     far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                   jnp.maximum(t1y, t2y)),
                       jnp.minimum(jnp.maximum(t1z, t2z), t_best))
-    maybe = jnp.logical_not(near >= far) & live                   # (C, R)
+    maybe = jnp.logical_not(near > far) & live                   # (C, R)
 
     c, r = maybe.shape
     n_blocks = r // block_r
@@ -146,7 +152,7 @@ def _slab_word(tile, rox, roy, roz, inx, iny, inz, live, t_scr):
     """Slab-test a (G, 8) AABB tile against the block's rays under the
     LIVE best-t far bound; returns an i32 word whose bit g says whether
     any live ray's interval for box g is nonempty.  NaNs stay
-    conservative via ~(near >= far) exactly like the prepass.  The hit
+    conservative via ~(near > far) exactly like the prepass.  The hit
     flags leave vector-land as one exact f32 sum of powers of two
     (Mosaic cannot scalar-read VMEM vectors); G <= 24 keeps the sum
     exact in f32."""
@@ -164,7 +170,7 @@ def _slab_word(tile, rox, roy, roz, inx, iny, inz, live, t_scr):
     far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                   jnp.maximum(t1y, t2y)),
                       jnp.minimum(jnp.maximum(t1z, t2z), t_scr[...]))
-    maybe = jnp.logical_not(near >= far) & live        # (G, BR)
+    maybe = jnp.logical_not(near > far) & live        # (G, BR)
     flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
     weights = (2.0 ** jax.lax.broadcasted_iota(
         jnp.int32, (g, 1), 0).astype(jnp.float32))
@@ -287,8 +293,16 @@ def _mt_update(tile, rays, t_scr, idx_scr, attr_scr, with_attrs):
     local_t = jnp.min(t, axis=0, keepdims=True)        # (1, BR)
     local_if = jnp.min(jnp.where(t == local_t, gidx, jnp.float32(2e9)),
                        axis=0, keepdims=True)
-    better = local_t < t_scr[...]
-    t_scr[...] = jnp.where(better, local_t, t_scr[...])
+    # lowest-global-index tie-break ACROSS clusters too: traversal order
+    # is a camera-dependent heuristic, so a strict < would let equal-t
+    # duplicates flicker between frames and diverge from the dense
+    # path's argmin (first = lowest index) semantics.  idx -1 (the
+    # non-triangle t_init seed) never loses a tie: the kernel reports
+    # only strictly closer triangle hits against the seed.
+    prev = t_scr[...]
+    better = (local_t < prev) | (
+        (local_t == prev) & (local_if < idx_scr[...].astype(jnp.float32)))
+    t_scr[...] = jnp.where(better, local_t, prev)
     idx_scr[...] = jnp.where(better, local_if.astype(jnp.int32),
                              idx_scr[...])
     if with_attrs:
@@ -370,8 +384,12 @@ def _mt_update_sub(tile, rays, t_scr, idx_scr, attr_scr, t_sub, s,
     local_t = jnp.min(t, axis=0, keepdims=True)        # (1, 128)
     local_if = jnp.min(jnp.where(t == local_t, gidx, jnp.float32(2e9)),
                        axis=0, keepdims=True)
-    better = local_t < t_scr[0:1, sl]
-    t_new = jnp.where(better, local_t, t_scr[0:1, sl])
+    # same cross-cluster lowest-index tie-break as _mt_update above
+    prev = t_scr[0:1, sl]
+    better = (local_t < prev) | (
+        (local_t == prev)
+        & (local_if < idx_scr[0:1, sl].astype(jnp.float32)))
+    t_new = jnp.where(better, local_t, prev)
     t_scr[0:1, sl] = t_new
     t_sub[s:s + 1, :] = t_new
     idx_scr[0:1, sl] = jnp.where(better, local_if.astype(jnp.int32),
@@ -492,7 +510,7 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
         far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                       jnp.maximum(t1y, t2y)),
                           jnp.minimum(jnp.maximum(t1z, t2z), t_sub[...]))
-        maybe = jnp.logical_not(near >= far) & slive   # (SB, 128)
+        maybe = jnp.logical_not(near > far) & slive   # (SB, 128)
         flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
         return jnp.sum(flags * pow2).astype(jnp.int32)
 
@@ -661,7 +679,7 @@ def _sort_rays_by_super(o, d, alive, t_init, super_aabb, order):
     far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                   jnp.maximum(t1y, t2y)),
                       jnp.minimum(jnp.maximum(t1z, t2z), pad(t_init)))
-    maybe = jnp.logical_not(near >= far) & (pad(alive) > 0.0)   # (S, R)
+    maybe = jnp.logical_not(near > far) & (pad(alive) > 0.0)   # (S, R)
     rank = jnp.zeros((n_super,), jnp.int32).at[order].set(
         jnp.arange(n_super, dtype=jnp.int32))
     key = jnp.min(jnp.where(maybe, rank[:, None], n_super), axis=0)
@@ -757,9 +775,17 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                         ).at[:, 6:].set(0.0)
         aabb_pad = jnp.concatenate([aabb, sent]) if c_pad > n_clusters \
             else aabb
-        lo = aabb_pad[:, 0:3].reshape(-1, _SUPER, 3)
-        hi = jnp.where(jnp.arange(c_pad)[:, None] < n_clusters,
-                       aabb_pad[:, 3:6], -3.0e38).reshape(-1, _SUPER, 3)
+        # a child is REAL when it is in range AND not one of the scene
+        # build's own bucket-padding sentinels (lo = 3e38 rows inside
+        # `aabb` itself).  Including sentinel hi's (= 3e38) would inflate
+        # the union box to [real_lo, 3e38]: a slab interval that is
+        # non-empty for EVERY live ray, which defeats both the prepass
+        # cull and the kernel's empty-block skip on any padded scene.
+        real = (jnp.arange(c_pad) < n_clusters) & (aabb_pad[:, 0] < 1.0e37)
+        lo = jnp.where(real[:, None], aabb_pad[:, 0:3],
+                       3.0e38).reshape(-1, _SUPER, 3)
+        hi = jnp.where(real[:, None], aabb_pad[:, 3:6],
+                       -3.0e38).reshape(-1, _SUPER, 3)
         super_aabb = jnp.concatenate(
             [lo.min(axis=1), hi.max(axis=1),
              jnp.zeros((c_pad // _SUPER, 2), jnp.float32)], axis=1)

@@ -303,3 +303,88 @@ def test_end_to_end_bvh_render_matches_jnp():
 
     a, b = np.asarray(r1.canvas), np.asarray(r2.canvas)
     np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
+
+
+def test_equal_t_tie_across_clusters_picks_lowest_index():
+    """Two IDENTICAL triangles placed in different clusters must resolve
+    an exact-equal t to the lowest global index on both kernel paths —
+    the dense path's argmin (first minimum) semantics.  Traversal order
+    is a camera-dependent heuristic, so a strict < commit would let the
+    winner flicker with the live-ray set."""
+    import jax.numpy as jnp
+    C, K = 2, 8
+    table = np.zeros((C * K, 128), np.float32)
+
+    def put(slot, gidx):
+        # unit right triangle at z = -2: v0=(-1,-1), e1=(2,0), e2=(0,2)
+        table[slot, 0:3] = [-1.0, -1.0, -2.0]
+        table[slot, 3:6] = [2.0, 0.0, 0.0]
+        table[slot, 6:9] = [0.0, 2.0, 0.0]
+        table[slot, 9:18] = [0, 0, 1, 0, 0, 1, 0, 0, 1]
+        table[slot, 19] = 1.0
+        table[slot, 20] = gidx
+
+    put(0, 5.0)        # cluster 0 (visited first): HIGHER index
+    put(K, 2.0)        # cluster 1: duplicate with LOWER index
+    aabb = np.zeros((C, 8), np.float32)
+    aabb[:, 0:3] = [-1.0, -1.0, -2.0]
+    aabb[:, 3:6] = [1.0, 1.0, -2.0]
+
+    n = 128
+    o = Vec3.from_array(jnp.zeros((n, 3), jnp.float32))
+    d = Vec3.from_array(jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]],
+                                             jnp.float32), (n, 1)))
+    alive = jnp.ones((n,), jnp.float32)
+    t_init = jnp.full((n,), jnp.inf, jnp.float32)
+
+    for hbm in (False, True):
+        t_k, i_k = intersect_triangles_bvh(
+            o, d, alive, t_init, jnp.asarray(aabb), jnp.asarray(table),
+            block_r=128, interpret=True, hbm_table=hbm)
+        np.testing.assert_allclose(np.asarray(t_k), 2.0, rtol=1e-6)
+        assert (np.asarray(i_k) == 2).all(), f"hbm_table={hbm}"
+
+
+def test_flat_axis_aligned_mesh_is_not_culled():
+    """A planar axis-aligned mesh produces perfectly FLAT cluster AABBs
+    (near == far at the hit): the closed-interval slab gate must still
+    visit them.  The reference's strict tmin < tmax only ever gates
+    whole models (rarely flat); clusters subdivide meshes, which
+    routinely are (floor grids, cube faces)."""
+    import jax.numpy as jnp
+    # 16x16 grid of quads at y = 0 -> 512 triangles, all coplanar
+    g = 16
+    xs = np.linspace(-2, 2, g + 1, dtype=np.float32)
+    quads = []
+    for i in range(g):
+        for j in range(g):
+            x0, x1 = xs[i], xs[i + 1]
+            z0, z1 = xs[j], xs[j + 1]
+            quads.append([[x0, 0, z0], [x1, 0, z0], [x0, 0, z1]])
+            quads.append([[x1, 0, z0], [x1, 0, z1], [x0, 0, z1]])
+    pos = np.asarray(quads, np.float32)
+    nrm = np.tile(np.asarray([0, 1, 0], np.float32), (pos.shape[0], 3, 1))
+
+    sc = Scene()
+    sc.cluster_threshold = 64
+    sc.cluster_size = 128
+    span = sc.pool.append(pos, nrm)
+    sc.add_model(span)
+    ds = sc.build()
+    cl = ds.triangles.clusters
+    assert cl is not None
+    # every cluster box is exactly flat in y
+    assert (np.asarray(cl.aabb)[:, 1] == np.asarray(cl.aabb)[:, 4]).all()
+
+    o, d = _rays(600, seed=9)
+    t_ref, i_ref = intersect_triangles(o, d, ds.triangles, chunk=4096)
+    alive = jnp.ones_like(o.x)
+    t_init = jnp.full_like(o.x, jnp.inf)
+    t_k, i_k = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                       cl.table_t, block_r=128,
+                                       interpret=True)
+    hit = np.isfinite(np.asarray(t_ref))
+    assert hit.any()            # the random rays do hit the plane
+    np.testing.assert_array_equal(hit, np.asarray(i_k) >= 0)
+    np.testing.assert_allclose(np.asarray(t_k)[hit],
+                               np.asarray(t_ref)[hit], rtol=1e-5)
