@@ -168,7 +168,7 @@ class SceneEditor:
             if index < 0:
                 raise IndexError
             return lst[index], kind
-        except (KeyError, ValueError, IndexError):
+        except (KeyError, ValueError, TypeError, IndexError):
             raise EditError(f"no {kind} with index {cmd.get('index')!r}"
                             ) from None
 
@@ -326,12 +326,12 @@ class SceneEditor:
 
     def _op_scale_shape(self, cmd):
         """Gizmo scale mode: uniform scale about the shape's own origin,
-        or along ONE world axis when cmd["axis"] is "x"/"y"/"z" (the
-        per-axis handle of tiny-gizmo's scale dragger).  Spheres scale
-        their radius either way (the radius-from-scale-diff glue,
-        interface.cpp:13-34 — a sphere has no per-axis extent); models
-        scale the 3x3 part (world-space premultiply, consistent with
-        rotate); planes are infinite and cannot be scaled."""
+        or along ONE LOCAL axis when cmd["axis"] is "x"/"y"/"z" (the
+        per-axis handle of tiny-gizmo's scale dragger, which edits one
+        component of an object-frame scale vec3 — shear-free by
+        construction).  Spheres scale their radius either way (the
+        radius-from-scale-diff glue, interface.cpp:13-34 — a sphere has
+        no per-axis extent); planes are infinite and cannot be scaled."""
         shape, kind = self._shape(cmd)
         factor = float(cmd.get("factor", 1.0))
         if not (factor > 0.0) or not math.isfinite(factor):
@@ -348,12 +348,15 @@ class SceneEditor:
             if axis is None:
                 m[:3, :3] *= factor
             else:
-                # S = I + (factor-1) a a^T premultiplied: stretch along
-                # the WORLD axis regardless of the instance's rotation
-                a = np.zeros(3)
-                a["xyz".index(axis)] = 1.0
-                s = np.eye(3) + (factor - 1.0) * np.outer(a, a)
-                m[:3, :3] = s @ m[:3, :3]
+                # per-axis scale acts in the instance's LOCAL frame
+                # (post-multiplied diagonal), like tiny-gizmo's scale
+                # dragger adjusting one component of its scale vec3
+                # (tiny-gizmo.hpp rigid_transform).  A world-axis stretch
+                # (premultiplied I + (f-1)aa^T) on a rotated model
+                # shears m, which the T*Ry*Rx*Rz*S decomposition
+                # (decompose_trs) cannot represent — any later TRS-based
+                # verb would silently snap the geometry.
+                m[:3, "xyz".index(axis)] *= factor
             self.scene.set_model_transform(shape, m.astype(np.float32))
         return {}
 
@@ -368,8 +371,10 @@ class SceneEditor:
     def _op_remove_material(self, cmd):
         try:
             index = int(cmd["index"])
-            self.scene.materials[index]
-        except (KeyError, ValueError, IndexError):
+            if not 0 <= index < len(self.scene.materials):
+                raise IndexError   # negative indexing is not part of the
+                                   # command surface (reindex would corrupt)
+        except (KeyError, ValueError, TypeError, IndexError):
             raise EditError(
                 f"no material with index {cmd.get('index')!r}") from None
         self.scene.remove_material(index)

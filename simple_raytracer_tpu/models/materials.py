@@ -65,6 +65,11 @@ class MaterialSet:
         """Delete a material, reindexing shape references like the editor
         (interface.cpp:405-422).  `shapes` is any iterable of objects with a
         mutable integer ``material`` attribute."""
+        if not 0 <= index < len(self.materials):
+            # a negative index would delete via Python indexing but then
+            # decrement EVERY shape reference (shape.material > -1),
+            # silently corrupting assignments to -1
+            raise IndexError(index)
         del self.materials[index]
         del self.names[index]
         if not self.materials:

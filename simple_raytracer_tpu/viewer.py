@@ -718,12 +718,14 @@ class RenderLoop:
         addition).
         scale: vertical drag scales uniformly (up = bigger).
 
-        cmd["axis"] ("x"|"y"|"z") constrains any mode to ONE world axis —
-        the per-axis dragger of tiny-gizmo's handle state machine
+        cmd["axis"] ("x"|"y"|"z") constrains any mode to ONE axis — the
+        per-axis dragger of tiny-gizmo's handle state machine
         (tiny-gizmo.cpp:309-327): translate projects the free-space cursor
-        delta onto the axis, rotate spins about exactly that axis, scale
-        stretches along it (spheres scale their radius — the reference
-        maps any scale handle to radius, interface.cpp:13-34).
+        delta onto the WORLD axis, rotate spins about exactly that world
+        axis, scale stretches the model's LOCAL axis (tiny-gizmo scales a
+        per-axis scale vec3 in the object frame; a world-axis stretch on
+        a rotated model would shear).  Spheres scale their radius — the
+        reference maps any scale handle to radius, interface.cpp:13-34.
         """
         if self.editor is None:
             raise EditError("no editable scene")

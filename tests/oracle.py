@@ -229,9 +229,18 @@ class OracleScene:
 
 
 def shlick(mu, cos_theta):
-    r0 = (1.0 - mu) / (1.0 + mu)
+    """render.cl:173-177.  The reference writes unsuffixed double
+    literals, so an fp64-capable OpenCL device evaluates this chain in
+    f64 and rounds at the float return; without cl_khr_fp64 the literals
+    demote to float and the chain is pure f32.  This oracle (and the
+    device path, ops/bsdf.shlick_reflectance) follow the f32 form — the
+    two differ by ulps, which can flip the reflect/refract Bernoulli on
+    exact-threshold draws; RMSE comparisons absorb that (PARITY.md)."""
+    mu = F(mu)
+    cos_theta = F(cos_theta)
+    r0 = (F(1.0) - mu) / (F(1.0) + mu)
     r0 = r0 * r0
-    return F(r0 + (1.0 - r0) * np.power(1.0 - cos_theta, 5))
+    return F(r0 + (F(1.0) - r0) * np.power(F(1.0) - cos_theta, 5))
 
 
 def reflect(v, n):
@@ -268,17 +277,23 @@ def trace(osc, o, d, seed, num_bounces, show_normals=False):
         seed, ut = rand_float(seed)
         is_trans = mat.transmittance > ut
         if not is_trans:
-            if is_metal or is_spec:
-                d = rough
-            else:
-                d = random_dir
+            # render.cl:432 is mix(random_dir, rough_dir, sel) — the LERP
+            # x + (y - x) * a, which with a = 1.0f is NOT bitwise rough
+            # (x + (y - x) can differ by 1 ulp); the device path's
+            # vec.mix evaluates the same expression
+            sel = F(1.0) if (is_metal or is_spec) else F(0.0)
+            d = random_dir + (rough - random_dir) * sel
             if is_spec:
-                pass  # untinted
+                pass  # untinted: mix(color, 1, 1) == 1 exactly in f32
             else:
                 mask = mask * np.array(mat.color, F)
         else:
             in_dir = reflect(rough, n).astype(F)
-            mu = F(1.0 / mat.refraction_index) if front else F(mat.refraction_index)
+            # f32 reciprocal like the device kernel (1.0f / float IOR,
+            # render.cl:442) — a double 1/ri rounded to f32 differs for
+            # ~30% of IOR values and flips Schlick/TIR thresholds
+            mu = F(1.0) / F(mat.refraction_index) if front \
+                else F(mat.refraction_index)
             cos_t = min(F(1.0), dot3(in_dir, -n))
             sin_t = np.sqrt(F(1.0) - cos_t * cos_t)
             if mu * sin_t > 1.0:
@@ -392,12 +407,13 @@ class OracleSceneVec(OracleScene):
         self.m_metal = np.array([m.metallic for m in mats], F)
         self.m_spec = np.array([m.specular for m in mats], F)
         self.m_trans = np.array([m.transmittance for m in mats], F)
-        # the scalar path computes F(1.0 / ri) in float64 BEFORE the f32
-        # cast (oracle.trace, mirroring render.cl:441's host constants):
-        # precompute both castings from the f64 value
-        ri64 = np.array([m.refraction_index for m in mats], np.float64)
-        self.m_ri = ri64.astype(F)
-        self.m_ri_inv = (1.0 / ri64).astype(F)
+        # f32 reciprocal of the f32 IOR, like the device kernel
+        # (1.0f / material->refraction_index, render.cl:442) and the
+        # scalar oracle path — an f64 1/ri rounded to f32 double-rounds
+        # and shifts the Schlick/TIR thresholds for ~30% of IOR values
+        ri = np.array([m.refraction_index for m in mats], F)
+        self.m_ri = ri
+        self.m_ri_inv = (F(1.0) / ri).astype(F)
 
     def closest_vec(self, o, d):
         """Vector form of closest(): strict-< first-wins updates in the
@@ -540,8 +556,11 @@ def trace_vec(osc, o, d, seed, num_bounces, show_normals=False):
                 * osc.m_smooth[mi][:, None]
             seed, ut = _rand_float_v(seed)
             is_trans = osc.m_trans[mi] > ut
-            # non-transmissive arm (render.cl:425-437)
-            d_nt = np.where((is_metal | is_spec)[:, None], rough, random_dir)
+            # non-transmissive arm (render.cl:425-437); the direction
+            # select is OpenCL mix's LERP x + (y - x) * sel, not a
+            # bitwise pick (1-ulp different from rough for sel = 1)
+            sel = (is_metal | is_spec).astype(F)[:, None]
+            d_nt = random_dir + (rough - random_dir) * sel
             mask_nt = np.where(is_spec[:, None], mask,
                                mask * osc.m_color[mi])
             # transmissive arm (render.cl:438-462)

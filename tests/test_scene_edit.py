@@ -251,3 +251,43 @@ def test_auto_cluster_k_escalates_when_padded_table_leaves_vmem():
     sc.build(refit=True)
     assert sc._auto_k[1] == 128
     assert sc._cluster_topo[1].slots is topo_before.slots  # topology kept
+
+
+def test_axis_scale_is_local_and_trs_representable():
+    """Per-axis model scale acts in the LOCAL frame (tiny-gizmo edits an
+    object-frame scale vec3): on a rotated model the matrix must remain
+    T*R*S-decomposable, so a follow-up TRS-based translation cannot snap
+    the geometry."""
+    import math as _math
+    from simple_raytracer_tpu.editor import SceneEditor, decompose_trs
+
+    sc = Scene()
+    box = sc.add_box((0, 0, -5))
+    ed = SceneEditor(sc, on_change=lambda: None)
+    ed.apply({"op": "rotate_shape", "kind": "model", "index": 0,
+              "axis": [0, 1, 0], "angle": _math.pi / 4})
+    ed.apply({"op": "scale_shape", "kind": "model", "index": 0,
+              "factor": 2.0, "axis": "x"})
+    m = np.array(sc.models[0].transform, np.float64)
+    t, (yaw, pitch, roll), scale = decompose_trs(m.astype(np.float32))
+    np.testing.assert_allclose(scale, [2.0, 1.0, 1.0], atol=1e-5)
+    # recompose must reproduce the matrix (no shear lost)
+    m2 = transform_trs(t, (yaw, pitch, roll), scale)
+    np.testing.assert_allclose(np.asarray(m2, np.float64), m, atol=1e-5)
+
+
+def test_remove_material_rejects_negative_index():
+    from simple_raytracer_tpu.editor import SceneEditor
+
+    sc = Scene()
+    sc.add_material(Material(), "M1")
+    s = sc.add_sphere((0, 0, -3), 1.0, material=1)
+    ed = SceneEditor(sc, on_change=lambda: None)
+    import pytest
+    from simple_raytracer_tpu.editor import EditError
+    with pytest.raises(EditError, match="material"):
+        ed.apply({"op": "remove_material", "index": -1})
+    assert s.material == 1      # nothing was reindexed
+
+    with pytest.raises(IndexError):
+        sc.materials.remove(-1, sc.all_shapes)
