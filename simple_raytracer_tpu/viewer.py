@@ -176,8 +176,12 @@ function renderShapes() {
                               index:s.index});
     const del = document.createElement('button');
     del.textContent = 'x';
-    del.onclick = () => { if (sel && sel.kind===s.kind &&
-                              sel.index===s.index) sel = null;
+    del.onclick = () => { if (sel && sel.kind === s.kind) {
+                            // deleting shifts every higher same-kind
+                            // index down — repair or clear the selection
+                            if (sel.index === s.index) sel = null;
+                            else if (sel.index > s.index) sel.index -= 1;
+                          }
                           edit({op:'remove_shape', kind:s.kind,
                                 index:s.index}); };
     // drag source for list reorder (interface.cpp:203-216)
@@ -304,18 +308,25 @@ function renderMaterials() {
   div.innerHTML = '';
   for (const m of S.materials) {
     const box = document.createElement('div'); box.className = 'matbox';
-    // drag source: drop onto a shape row to assign (interface.cpp:425-433)
-    box.draggable = true;
-    box.ondragstart = ev =>
-      ev.dataTransfer.setData('text/plain', String(m.index));
     const head = document.createElement('div'); head.className = 'row';
+    // drag source lives on a GRIP, not the whole box: a draggable
+    // ancestor hijacks press-and-drag text selection in the rename
+    // input on Firefox/WebKit.  Drop onto a shape row to assign
+    // (interface.cpp:425-433).
+    const grip = document.createElement('span');
+    grip.textContent = '≡';
+    grip.title = 'drag onto a shape to assign';
+    grip.style.cursor = 'grab';
+    grip.draggable = true;
+    grip.ondragstart = ev =>
+      ev.dataTransfer.setData('text/plain', String(m.index));
     const name = document.createElement('input');
     name.type = 'text'; name.value = m.name;
     name.onchange = () => edit({op:'rename_material', index:m.index,
                                 name:name.value});
     const del = document.createElement('button'); del.textContent = 'x';
     del.onclick = () => edit({op:'remove_material', index:m.index});
-    head.append(name, del);
+    head.append(grip, name, del);
     box.appendChild(head);
     box.appendChild(matColorRow(m, 'color'));
     for (const f of ['smoothness', 'metallic', 'specular', 'transmittance'])
@@ -460,8 +471,12 @@ function distToSeg(px, py, x1, y1, x2, y2) {
 }
 
 img.ondblclick = () => img.requestPointerLock();
+let pressActive = false;   // physical button state: the /pick await can
+                           // outlive a fast click's mouseup
+let dragMoved = false;     // a drag happened: refresh panels on release
 img.onmousedown = async e => {
   if (document.pointerLockElement === img) return;
+  pressActive = true;
   const r = img.getBoundingClientRect();
   const x = (e.clientX - r.left) * W / r.width;
   const y = (e.clientY - r.top) * H / r.height;
@@ -485,9 +500,20 @@ img.onmousedown = async e => {
                hit.shape.index === sel.index;
   if (hit.shape) sel = hit.shape;
   renderShapes(); renderSelected(); renderGizmo();
-  if (same) { dragging = true; lastDrag = [e.clientX, e.clientY]; }
+  // only engage the drag if the button is STILL down — a fast click's
+  // mouseup can fire during the /pick round trip, and engaging after
+  // it would leave a sticky drag with no button held
+  if (same && pressActive) { dragging = true;
+                             lastDrag = [e.clientX, e.clientY]; }
 };
-document.onmouseup = () => { dragging = false; };
+document.onmouseup = () => {
+  pressActive = false;
+  dragging = false;
+  if (dragMoved) {
+    dragMoved = false;
+    refresh();   // re-sync S/panels/handles with the dragged transform
+  }
+};
 document.onmousemove = e => {
   if (document.pointerLockElement === img) {
     dx += e.movementX; dy += e.movementY;
@@ -498,12 +524,19 @@ document.onmousemove = e => {
                   dx:(e.clientX - lx) / img.getBoundingClientRect().width,
                   dy:(e.clientY - ly) / img.getBoundingClientRect().height};
     if (dragAxis) body.axis = dragAxis;
-    fetch('/edit', {method:'POST', body:JSON.stringify(body)});
+    dragMoved = true;
+    // raw fetch (no per-mousemove refresh), but honor the error-line
+    // contract: e.g. scale-dragging a plane raises a real EditError
+    fetch('/edit', {method:'POST', body:JSON.stringify(body)})
+      .then(r => r.json()).then(j => { if (!j.ok) err(j.error); })
+      .catch(() => {});
   }
 };
 
 document.onkeydown = e => {
-  if (e.target.tagName === 'INPUT') return;
+  // form fields keep their own keyboard: arrows must navigate a material
+  // <select>, not nudge the selected shape
+  if (['INPUT', 'SELECT', 'TEXTAREA'].includes(e.target.tagName)) return;
   const k = e.key.toLowerCase();
   if (k === 'g') setMode('translate');
   else if (k === 'r') setMode('rotate');
@@ -527,9 +560,20 @@ document.onkeydown = e => {
   }
 };
 document.onkeyup = e => { keys[e.key.toLowerCase()] = false; };
-document.onwheel = e => { wheel += Math.sign(e.deltaY); };
+// a key held across focus loss never gets its keyup: clear everything,
+// or the camera keeps flying while the tab is backgrounded
+window.onblur = () => { for (const k in keys) keys[k] = false; };
+document.onvisibilitychange = () => {
+  if (document.hidden) for (const k in keys) keys[k] = false;
+};
+// wheel zoom only over the IMAGE: scrolling the side panel must scroll
+// the panel, not drift the camera fov (main.cpp:183 gates on
+// accepting_input the same way)
+img.onwheel = e => { wheel += Math.sign(e.deltaY); e.preventDefault(); };
 
 let last = performance.now();
+let lastCamJson = '';
+let serverErrShown = false;
 async function tick() {
   const now = performance.now(); const dt = (now - last) / 1000; last = now;
   const body = {keys: Object.keys(keys).filter(k => keys[k]),
@@ -542,9 +586,24 @@ async function tick() {
     document.getElementById('stats').textContent =
       `steps ${s.steps}  ${s.ms.toFixed(1)} ms/step  ${s.fps.toFixed(1)} fps`;
     img.src = '/frame.png?t=' + s.frame;
-    if (S && s.camera) S.camera = s.camera;
+    if (S && s.camera) {
+      S.camera = s.camera;
+      // keep the Camera panel's inputs in sync with flying, or a later
+      // single-field edit commits the stale siblings and teleports the
+      // camera; skip while the user is typing in that panel
+      const cj = JSON.stringify(s.camera);
+      if (cj !== lastCamJson && !document.getElementById('camera')
+            .contains(document.activeElement)) {
+        lastCamJson = cj;
+        renderCamera();
+      }
+    }
     renderGizmo();   // track camera motion
-    if (s.error) err(s.error);
+    // show live server errors; CLEAR the line when the server recovers
+    // (a later successful compile resets loop.error) — but never clobber
+    // a client-side message from edit() that the server never saw
+    if (s.error) { err(s.error); serverErrShown = true; }
+    else if (serverErrShown) { err(''); serverErrShown = false; }
   } catch (e) {}
   setTimeout(tick, 33);
 }
