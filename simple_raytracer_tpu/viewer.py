@@ -1092,10 +1092,12 @@ def serve(scene, camera, options: RenderOptions, port: int = 8008,
 
 
 def main(argv=None):
+    from .models.presets import CONFIGS
+
     p = argparse.ArgumentParser(prog="srt-viewer")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--scene")
-    src.add_argument("--config", type=int, choices=[1, 2, 3, 4, 5])
+    src.add_argument("--config", type=int, choices=sorted(CONFIGS))
     p.add_argument("--port", type=int, default=8008)
     p.add_argument("--width", type=int, default=480)
     p.add_argument("--height", type=int, default=272)
@@ -1112,7 +1114,6 @@ def main(argv=None):
         scene, camera = load_scene(args.scene)
         camera = camera or Camera()
     else:
-        from .models.presets import CONFIGS
         scene, camera, _ = CONFIGS[args.config]()
     options = RenderOptions(width=args.width, height=args.height,
                             num_samples=args.samples,

@@ -336,3 +336,35 @@ def test_renderer_all_devices_tiled_canvas(devices):
     assert r8._tile == (8, 64)
     r8.step(camera, time=9)
     np.testing.assert_array_equal(r8.image(), single)
+
+
+def test_viewer_set_render_keeps_all_devices(devices):
+    """Changing render params in a SHARDED viewer must not downgrade it
+    to one device: _set_render rebuilds RenderOptions with
+    dataclasses.replace, so all_devices (and every other non-panel
+    field) carries into the background-compiled replacement renderer."""
+    import time as _time
+    from simple_raytracer_tpu.viewer import RenderLoop
+
+    sc = Scene()
+    sc.add_sphere((0, 0, -3), 1.0)
+    opts = RenderOptions(width=64, height=48, num_samples=1, num_bounces=2,
+                         all_devices=True)
+    r = Renderer(opts, scene=sc)
+    assert r.num_devices == 8
+    loop = RenderLoop(r, Camera(), scene=sc)
+    res = loop.handle_edit({"op": "set_render", "bounces": 3})
+    assert res["ok"] and res["compiling"]
+    with loop._lock:
+        pend = loop._pending_opts
+    assert pend is not None and pend.all_devices is True
+    deadline = _time.time() + 240
+    while _time.time() < deadline:
+        with loop._lock:
+            if loop._pending_opts is None:
+                break
+        _time.sleep(0.1)
+    assert loop.error is None, loop.error
+    assert loop.renderer.options.num_bounces == 3
+    assert loop.renderer.options.all_devices is True
+    assert loop.renderer.num_devices == 8
