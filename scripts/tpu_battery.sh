@@ -36,6 +36,7 @@ run 10800 bench    python bench.py                  > "$RES/bench.json" 2> "$RES
 run 9000 perftable python scripts/gen_perf_table.py > "$RES/perf_table.log" 2>&1
 run 9000 sweep6    python scripts/sweep_config6.py 8 > "$RES/sweep6.log" 2>&1
 run 3600 ttff      python scripts/ttff.py           > "$RES/ttff.json" 2>&1
+run 3600 sky       python scripts/profile_sky.py    > "$RES/sky.log" 2>&1
 run 9000 parity    python scripts/parity_rmse.py --steps 200 > "$RES/parity.md" 2>&1
 echo "ALL-DONE $(date -u)" >> "$RES/stages.log"
 touch "$RES/DONE"

@@ -1023,11 +1023,17 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                 self._send(400, b"bad json", "text/plain")
                 return
             if self.path == "/input":
-                loop.apply_input(set(data.get("keys", [])),
-                                 float(data.get("dx", 0)),
-                                 float(data.get("dy", 0)),
-                                 float(data.get("wheel", 0)),
-                                 float(data.get("dt", 0.016)))
+                try:
+                    loop.apply_input(set(data.get("keys", [])),
+                                     float(data.get("dx", 0)),
+                                     float(data.get("dy", 0)),
+                                     float(data.get("wheel", 0)),
+                                     float(data.get("dt", 0.016)))
+                except (TypeError, ValueError) as e:
+                    self._send_json({"ok": False,
+                                     "error": f"bad payload: {e!r}"},
+                                    code=400)
+                    return
                 _, frame, steps, ms, fps = loop.snapshot()
                 cam = loop.camera
                 self._send_json(
@@ -1053,8 +1059,14 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                     self._send_json({"ok": False,
                                      "error": f"bad payload: {e!r}"})
             elif self.path == "/pick":
-                hit = loop.pick(float(data.get("x", 0)),
-                                float(data.get("y", 0)))
+                try:
+                    hit = loop.pick(float(data.get("x", 0)),
+                                    float(data.get("y", 0)))
+                except (TypeError, ValueError) as e:
+                    self._send_json({"shape": None,
+                                     "error": f"bad payload: {e!r}"},
+                                    code=400)
+                    return
                 self._send_json({"shape": hit})
             else:
                 self._send(404, b"not found", "text/plain")

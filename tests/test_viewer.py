@@ -406,3 +406,19 @@ def test_set_render_preserves_non_panel_fields_and_revert_cancels(server):
             break
         time.sleep(0.05)
     assert loop.renderer.options == base
+
+
+def test_malformed_input_and_pick_payloads_return_400(server):
+    """Null/non-scalar values in /input and /pick must return structured
+    errors, not abort the connection with a traceback."""
+    import urllib.error
+    srv, loop = server
+    for path, payload in (("/input", {"dx": None}),
+                          ("/pick", {"x": [1, 2]})):
+        try:
+            _post(srv, path, payload)
+            assert False, f"{path} accepted a malformed payload"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            body = json.loads(e.read())
+            assert "bad payload" in body["error"]
