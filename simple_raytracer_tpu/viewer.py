@@ -1119,6 +1119,10 @@ def main(argv=None):
                    help="cap render loop fps (reference default: 60); 0 = off")
     p.add_argument("--screenshot-path", default="out.ppm",
                    help="where the P key saves the PPM screenshot")
+    p.add_argument("--all-devices", action="store_true",
+                   help="shard_map DP over every local device (height "
+                        "must divide by the device count); render-param "
+                        "edits preserve the sharding")
     args = p.parse_args(argv)
 
     if args.scene:
@@ -1129,7 +1133,8 @@ def main(argv=None):
         scene, camera, _ = CONFIGS[args.config]()
     options = RenderOptions(width=args.width, height=args.height,
                             num_samples=args.samples,
-                            num_bounces=args.bounces)
+                            num_bounces=args.bounces,
+                            all_devices=args.all_devices)
     serve(scene, camera, options, port=args.port, fps_limit=args.fps_limit,
           screenshot_path=args.screenshot_path)
 
