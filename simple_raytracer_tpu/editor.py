@@ -407,7 +407,12 @@ class SceneEditor:
             if key in ("color", "emission"):
                 setattr(mat, key, _vec3(value, key))
             else:
-                setattr(mat, key, float(value))
+                try:
+                    setattr(mat, key, float(value))
+                except (TypeError, ValueError):
+                    raise EditError(
+                        f"material field {key!r} must be a number, "
+                        f"got {value!r}") from None
 
     # scene lighting editor (interface.cpp:344-367)
     def _op_set_sky(self, cmd):

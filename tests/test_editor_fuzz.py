@@ -1,0 +1,109 @@
+"""Editor command-surface fuzz: random op sequences preserve invariants.
+
+The viewer drives SceneEditor with arbitrary JSON; whatever the sequence,
+the scene must stay internally consistent (material references in range,
+TRS-representable model transforms, buildable device scene) and invalid
+payloads must surface as EditError — never a raw TypeError/ValueError or
+a silently corrupted scene (SURVEY §4's determinism story depends on the
+host model staying sane under editing)."""
+import math
+
+import numpy as np
+import pytest
+
+from simple_raytracer_tpu import Material, Scene
+from simple_raytracer_tpu.editor import EditError, SceneEditor
+
+KINDS = ("sphere", "plane", "model")
+
+
+def _pick(rng, options):
+    """rng.choice for ragged/mixed-type option lists."""
+    return options[int(rng.integers(len(options)))]
+
+
+def _rand_op(rng, sc):
+    """One random (op, payload) — sometimes deliberately malformed."""
+    ops = [
+        lambda: {"op": "add_sphere",
+                 "position": list(rng.uniform(-5, 5, 3)),
+                 "radius": float(rng.uniform(0.1, 2.0))},
+        lambda: {"op": "add_plane",
+                 "position": list(rng.uniform(-5, 5, 3)),
+                 "normal": list(rng.uniform(-1, 1, 3) + 1e-3)},
+        lambda: {"op": "add_box",
+                 "position": list(rng.uniform(-5, 5, 3))},
+        lambda: {"op": "add_material", "name": f"m{rng.integers(1e6)}",
+                 "fields": {"metallic": float(rng.uniform(0, 1))}},
+        lambda: {"op": "remove_shape",
+                 "kind": rng.choice(KINDS),
+                 "index": int(rng.integers(-2, 6))},
+        lambda: {"op": "duplicate_shape",
+                 "kind": rng.choice(KINDS),
+                 "index": int(rng.integers(-2, 6))},
+        lambda: {"op": "reorder_shape", "kind": rng.choice(KINDS),
+                 "index": int(rng.integers(-2, 6)),
+                 "to": rng.choice([None, -3, 0, 2, 99])},
+        lambda: {"op": "set_shape_material", "kind": rng.choice(KINDS),
+                 "index": int(rng.integers(-2, 6)),
+                 "material": _pick(rng, [None, -1, 0, 1, 17])},
+        lambda: {"op": "remove_material",
+                 "index": _pick(rng, [None, -1, 0, 1, 5])},
+        lambda: {"op": "update_material", "index": int(rng.integers(0, 4)),
+                 "fields": {"smoothness": _pick(rng, [0.5, None, "x"])}},
+        lambda: {"op": "translate_shape", "kind": rng.choice(KINDS),
+                 "index": int(rng.integers(-2, 6)),
+                 "delta": _pick(rng, [[0.1, 0, 0], [1], None])},
+        lambda: {"op": "rotate_shape", "kind": rng.choice(KINDS),
+                 "index": int(rng.integers(-2, 6)),
+                 "axis": [0, 1, 0],
+                 "angle": float(rng.uniform(-3, 3))},
+        lambda: {"op": "scale_shape", "kind": rng.choice(KINDS),
+                 "index": int(rng.integers(-2, 6)),
+                 "factor": _pick(rng, [0.5, 2.0, 0.0, -1.0]),
+                 "axis": _pick(rng, [None, "x", "y", "z", "w"])},
+        lambda: {"op": "set_camera", "fov": _pick(rng, [70, None, "x"])},
+        lambda: {"op": _pick(rng, ["frobnicate", "", None])},
+    ]
+    return ops[rng.integers(len(ops))]()
+
+
+def _check_invariants(sc: Scene):
+    n_mats = len(sc.materials)
+    assert n_mats >= 1                      # delete refills Material0
+    for shape in sc.all_shapes:
+        assert 0 <= shape.material < n_mats
+    for m in sc.models:
+        t = np.asarray(m.transform, np.float64)
+        assert t.shape == (4, 4) and np.isfinite(t).all()
+        assert abs(np.linalg.det(t[:3, :3])) > 0  # never collapsed
+    for s in sc.spheres:
+        assert s.radius > 0 and math.isfinite(s.radius)
+    # identity discipline: no aliased objects in any list
+    for lst in (sc.spheres, sc.planes, sc.models):
+        ids = [id(x) for x in lst]
+        assert len(ids) == len(set(ids))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_editor_random_ops_keep_scene_consistent(seed):
+    rng = np.random.default_rng(seed)
+    sc = Scene()
+    ed = SceneEditor(sc, on_change=lambda: None)
+    applied = failed = 0
+    for _ in range(300):
+        cmd = _rand_op(rng, sc)
+        try:
+            r = ed.apply(cmd)
+            assert r.get("ok", True) in (True, False)
+            applied += 1
+        except EditError:
+            failed += 1          # structured rejection is the contract
+        _check_invariants(sc)
+    # the mix must actually exercise both outcomes
+    assert applied > 50 and failed > 20
+
+    # whatever state the fuzz left: the scene still compiles to a valid
+    # device scene
+    ds = sc.build()
+    assert int(ds.materials.smoothness.shape[0]) >= len(sc.materials)
