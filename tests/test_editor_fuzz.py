@@ -107,3 +107,33 @@ def test_editor_random_ops_keep_scene_consistent(seed):
     # device scene
     ds = sc.build()
     assert int(ds.materials.smoothness.shape[0]) >= len(sc.materials)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_fuzzed_scene_json_roundtrip_renders_identically(seed, tmp_path):
+    """Whatever state a fuzz run leaves, save_scene -> load_scene must
+    reproduce a scene whose DEVICE build is array-for-array identical —
+    the scene file IS the persistence story (reference future work,
+    README.md:43), so it must round-trip arbitrary edited scenes, not
+    just the presets."""
+    import jax
+    from simple_raytracer_tpu.io.scene_json import load_scene, save_scene
+
+    rng = np.random.default_rng(seed)
+    sc = Scene()
+    ed = SceneEditor(sc, on_change=lambda: None)
+    for _ in range(200):
+        try:
+            ed.apply(_rand_op(rng, sc))
+        except EditError:
+            pass
+    path = tmp_path / "fuzzed.json"
+    save_scene(path, sc)
+    sc2, _ = load_scene(path)
+
+    a, b = sc.build(), sc2.build()
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert sc2.materials.names == sc.materials.names
