@@ -319,11 +319,13 @@ class Scene:
                     k_eff = 128
                 self._auto_k = (topo, k_eff)
                 self._cluster_topo = ((k_eff, *topo), cl)
-            # bucket-pad the cluster count with point-at-infinity
-            # sentinels (lo = hi = 3e38: empty slab interval for every
-            # ray) so a transform edit that changes the raw cluster
-            # count doesn't change the table shape — which is a jit
-            # cache key and would force a recompile mid-drag.  Power-of-
+            # bucket-pad the cluster count with far-point sentinels
+            # (every box plane at +3e38 — the kernels' slab gates cull
+            # them via the near >= 1e38 term, see
+            # bvh_kernel._visit_prepass) so a transform edit that
+            # changes the raw cluster count doesn't change the table
+            # shape — which is a jit cache key and would force a
+            # recompile mid-drag.  Power-of-
             # two buckets up to 512 clusters; beyond that pad to a
             # multiple of 128 (a pow2 bucket would add up to +100%
             # sentinel clusters to the prepass and table of big meshes)

@@ -112,13 +112,24 @@ SMALL_TRIS_MAX = 64
 # packed-table VMEM residence budget for the megakernel's in-kernel BVH:
 # clusters * 24 rows * 512 B must leave room for the bounce-loop working
 # set in ~16 MB VMEM.  853 clusters = ~10 MB = ~109K triangles at K=128.
-MEGA_PACKED_MAX_CLUSTERS = 853
+# DERIVED, not yet hardware-validated near the cap (the pool outage hit
+# during this kernel's first TPU compile): if a large mesh fails Mosaic
+# VMEM allocation, lower this via SRT_MEGA_PACKED_MAX (or force
+# tri_backend="bvh") — the split HBM path serves any size.
+MEGA_PACKED_MAX_CLUSTERS = int(_os.environ.get("SRT_MEGA_PACKED_MAX",
+                                               "853"))
 
 # per-cluster MT ray-slice gating in the megakernel's BVH traversal
 # (_tris_clustered mt_slices): 1 = full-block MT (no gating).  Values
 # > 1 must divide block_r/128; compile time grows ~linearly.  Env knob
 # for the TPU sweep until a measured default lands.
 MEGA_MT_SLICES = int(_os.environ.get("SRT_MEGA_MT_SLICES", "1"))
+
+# one pallas_call is capped at ~1600 grid steps (Mosaic scoped SMEM,
+# ~0.5 KB per step of a 1 MB v5e budget — the limit bvh_kernel measured);
+# bigger renders split into sequential calls.  Module-level so tests can
+# exercise the chunked forms at small sizes.
+MEGA_MAX_BLOCKS = 1600
 
 
 def small_tris_table(scene):
@@ -340,7 +351,7 @@ def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
         far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                       jnp.maximum(t1y, t2y)),
                           jnp.minimum(jnp.maximum(t1z, t2z), t_best))
-        maybe = jnp.logical_not(near > far) & live
+        maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & live
         flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
         weights = (2.0 ** jax.lax.broadcasted_iota(
             jnp.int32, (8, 1), 0).astype(jnp.float32))
@@ -451,7 +462,7 @@ def _tris_clustered(table, aabb8, order, o, d, live, t_init, *,
                                           jnp.maximum(t1y, t2y)),
                               jnp.minimum(jnp.maximum(t1z, t2z),
                                           t_live[sl]))
-            maybe = jnp.logical_not(near > far) & live[sl]
+            maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & live[sl]
             pred = jnp.max(jnp.where(maybe, 1.0, 0.0)) > 0.0
             cs = tuple(r[sl] for r in carry)
             new = jax.lax.cond(
@@ -837,6 +848,34 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         tile_height = height
     n_rays = width * tile_height * num_samples
     rp = ((n_rays + block_r - 1) // block_r) * block_r
+
+    # Mosaic charges ~0.5 KB of scoped SMEM per grid step and v5e SMEM
+    # is 1 MB, so one pallas_call is capped at ~1600 blocks (the same
+    # measured limit bvh_kernel chunks at).  Larger renders (1080p at
+    # 2+ spp, 4K) split into row BANDS, each its own call: band rays
+    # regenerate from row0+y, so seeds/jitter are the global per-pixel
+    # functions either way, and with the band height a multiple of the
+    # tile row the full-range ray-tile order is exactly the
+    # concatenation of per-band tile orders (the shard_map path already
+    # relies on the same alignment argument) — bit-identical output.
+    max_blocks = MEGA_MAX_BLOCKS
+    if rp // block_r > max_blocks:
+        th_step = ray_tile[0] if ray_tile else 1
+        rows_cap = (max_blocks * block_r) // (width * num_samples)
+        band_h = max(th_step, (rows_cap // th_step) * th_step)
+        parts = []
+        y = 0
+        while y < tile_height:
+            h = min(band_h, tile_height - y)
+            parts.append(trace_full_fused(
+                scene, rot, position, aspect_ratio, fov_scale, time,
+                width=width, height=height, num_samples=num_samples,
+                num_bounces=num_bounces, row0=row0 + y, tile_height=h,
+                ray_tile=ray_tile, block_r=block_r, interpret=interpret))
+            y += h
+        return Vec3(*(jnp.concatenate([getattr(p, c) for p in parts])
+                      for c in "xyz"))
+
     sph_tab, pln_tab, mat_tab = prim_tables(scene)
     tri_tab = small_tris_table(scene)
 
@@ -956,6 +995,21 @@ def bounce_step(state: jnp.ndarray, is_last: jnp.ndarray, sph_tab, pln_tab,
     [t, attrs...] output of the BVH kernel for mesh scenes, or None.
     Blocks whose rays are all dead are passed through untouched."""
     rp = state.shape[1]
+    # same ~1600-block scoped-SMEM budget as trace_full_fused /
+    # bvh_kernel: larger states advance as sequential column chunks
+    # (block_r-aligned slices — per-ray independent, so chunking is
+    # bit-neutral)
+    max_blocks = MEGA_MAX_BLOCKS
+    if rp // block_r > max_blocks:
+        chunk = max_blocks * block_r
+        parts = []
+        for s in range(0, rp, chunk):
+            e = min(s + chunk, rp)
+            parts.append(bounce_step(
+                state[:, s:e], is_last, sph_tab, pln_tab, mat_tab,
+                tri_rows=None if tri_rows is None else tri_rows[:, s:e],
+                block_r=block_r, interpret=interpret))
+        return jnp.concatenate(parts, axis=1)
     grid = (rp // block_r,)
     counts = (state[7].reshape(-1, block_r) > 0.0).any(axis=1)
     counts = counts.astype(jnp.int32)

@@ -96,8 +96,16 @@ def _visit_prepass(o, d, alive, t_init, aabb: jnp.ndarray, block_r: int,
     the reference's strict `tmin < tmax` would cull geometry the dense
     path renders.  (The reference only gates whole models, which are
     rarely flat; clusters subdivide meshes, which routinely are.)
-    `~(near > far)` also keeps NaN results conservative (counted as
-    hits).
+
+    The `near >= 1e38` term rejects the bucket-padding SENTINELS (boxes
+    with every plane at +3e38): under a closed interval a far point box
+    is otherwise VISITED by any no-hit ray whose t products all overflow
+    equal (+inf == +inf), e.g. every sky ray into the all-positive
+    octant.  For a normalized direction |1/d| >= 1, so a sentinel's
+    all-positive slab entry is >= 3e38 - |o| >= 1e38, while any real
+    box's entry t is far below it — the term can only cull sentinels.
+    NaN results stay conservative (both comparisons are false -> the ray
+    counts as a hit), exactly like the kernel-side gates.
 
     Everything is computed in (C, R) orientation — clusters on sublanes,
     rays on lanes — so the per-block reduction is a minor-axis reshape +
@@ -124,7 +132,7 @@ def _visit_prepass(o, d, alive, t_init, aabb: jnp.ndarray, block_r: int,
     far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                   jnp.maximum(t1y, t2y)),
                       jnp.minimum(jnp.maximum(t1z, t2z), t_best))
-    maybe = jnp.logical_not(near > far) & live                   # (C, R)
+    maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & live                   # (C, R)
 
     c, r = maybe.shape
     n_blocks = r // block_r
@@ -170,7 +178,7 @@ def _slab_word(tile, rox, roy, roz, inx, iny, inz, live, t_scr):
     far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                   jnp.maximum(t1y, t2y)),
                       jnp.minimum(jnp.maximum(t1z, t2z), t_scr[...]))
-    maybe = jnp.logical_not(near > far) & live        # (G, BR)
+    maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & live        # (G, BR)
     flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
     weights = (2.0 ** jax.lax.broadcasted_iota(
         jnp.int32, (g, 1), 0).astype(jnp.float32))
@@ -510,7 +518,7 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
         far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                       jnp.maximum(t1y, t2y)),
                           jnp.minimum(jnp.maximum(t1z, t2z), t_sub[...]))
-        maybe = jnp.logical_not(near > far) & slive   # (SB, 128)
+        maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & slive   # (SB, 128)
         flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
         return jnp.sum(flags * pow2).astype(jnp.int32)
 
@@ -575,7 +583,16 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
                      lambda _: 0, 0)
 
     def dma(j, slot):
-        c = lst[0, j]
+        # structural OOB guard: kernel-side two-level padding ids
+        # (>= n_table_clusters) have NO table rows.  The slab gates
+        # provably cull their sentinel boxes for real rays, but a
+        # NaN-state ray visits EVERYTHING by conservative design — clamp
+        # so even that worst case lands on an existing (real) cluster
+        # tile; the duplicate visit is idempotent under the running-min
+        # commit.  Pallas refs on TPU do NOT clamp dynamic slices.
+        n_table_clusters = (table_hbm.shape[0] if packed
+                            else table_hbm.shape[0] // block_l)
+        c = jnp.minimum(lst[0, j], n_table_clusters - 1)
         if packed:
             # one (24, 128) packed tile per cluster — 96 B/triangle
             return pltpu.make_async_copy(table_hbm.at[c], buf.at[slot],
@@ -679,7 +696,7 @@ def _sort_rays_by_super(o, d, alive, t_init, super_aabb, order):
     far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
                                   jnp.maximum(t1y, t2y)),
                       jnp.minimum(jnp.maximum(t1z, t2z), pad(t_init)))
-    maybe = jnp.logical_not(near > far) & (pad(alive) > 0.0)   # (S, R)
+    maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & (pad(alive) > 0.0)   # (S, R)
     rank = jnp.zeros((n_super,), jnp.int32).at[order].set(
         jnp.arange(n_super, dtype=jnp.int32))
     key = jnp.min(jnp.where(maybe, rank[:, None], n_super), axis=0)
@@ -765,10 +782,10 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     super_aabb = top_aabb = order = None
     if hbm_table:
         # Pad the cluster list to a _SUPER (or _SUPER*_GROUP) multiple
-        # with point-at-infinity sentinel boxes (lo = hi = 3e38 misses
-        # every slab test for every ray sign) and bound each group of
-        # _SUPER children; two-level additionally bounds each group of
-        # _GROUP supers for the coarser prepass.
+        # with far-point sentinel boxes (every plane at +3e38 — culled
+        # by the slab gates' near >= 1e38 term, see _visit_prepass) and
+        # bound each group of _SUPER children; two-level additionally
+        # bounds each group of _GROUP supers for the coarser prepass.
         quantum = _SUPER * _GROUP if two_level else _SUPER
         c_pad = ((n_clusters + quantum - 1) // quantum) * quantum
         sent = jnp.full((c_pad - n_clusters, 8), 3.0e38, jnp.float32
@@ -786,14 +803,31 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                        3.0e38).reshape(-1, _SUPER, 3)
         hi = jnp.where(real[:, None], aabb_pad[:, 3:6],
                        -3.0e38).reshape(-1, _SUPER, 3)
-        super_aabb = jnp.concatenate(
-            [lo.min(axis=1), hi.max(axis=1),
-             jnp.zeros((c_pad // _SUPER, 2), jnp.float32)], axis=1)
+
+        def _boxes(lo_m, hi_m, n):
+            # an EMPTY union (no real children: hi < lo from the masked
+            # neutral elements) must become the far-point sentinel box —
+            # the inverted neutral box itself slabs to [0, t_best] (every
+            # per-axis interval straddles everything), i.e. VISITED by
+            # every ray, the exact opposite of empty
+            empty = (hi_m[:, 0] < lo_m[:, 0])[:, None]
+            lo_m = jnp.where(empty, 3.0e38, lo_m)
+            hi_m = jnp.where(empty, 3.0e38, hi_m)
+            return jnp.concatenate(
+                [lo_m, hi_m, jnp.zeros((n, 2), jnp.float32)], axis=1)
+
+        super_aabb = _boxes(lo.min(axis=1), hi.max(axis=1),
+                            c_pad // _SUPER)
         if two_level:
             grp = super_aabb.reshape(-1, _GROUP, 8)
-            top_aabb = jnp.concatenate(
-                [grp[:, :, 0:3].min(axis=1), grp[:, :, 3:6].max(axis=1),
-                 jnp.zeros((grp.shape[0], 2), jnp.float32)], axis=1)
+            # group union over supers: sentinel supers are far-points, so
+            # mask them with the same neutral elements before reducing
+            s_real = grp[:, :, 0] < 1.0e37                  # (G, _GROUP)
+            g_lo = jnp.where(s_real[:, :, None], grp[:, :, 0:3],
+                             3.0e38).min(axis=1)
+            g_hi = jnp.where(s_real[:, :, None], grp[:, :, 3:6],
+                             -3.0e38).max(axis=1)
+            top_aabb = _boxes(g_lo, g_hi, grp.shape[0])
         else:
             top_aabb = super_aabb
         order = front_to_back(top_aabb)
@@ -844,14 +878,18 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         # block slab words (fields: o.xyz, d.xyz, alive, t_init)
         rays_sub = (rays.reshape(8, rp // block_r, n_sub, _SUB)
                     .transpose(0, 2, 1, 3).reshape(8 * n_sub, -1))
-        extra_in = [rays_sub, aabb_pad, super_aabb]
+        # the kernel reads `sup` only under two_level (its group->super
+        # refine); stage a tiny dummy otherwise instead of paying the
+        # full super table's VMEM residency + per-call DMA for nothing
+        sup_in = super_aabb if two_level else super_aabb[:8]
+        extra_in = [rays_sub, aabb_pad, sup_in]
         extra_specs = [
             pl.BlockSpec(memory_space=pl.ANY),         # table in HBM
             pl.BlockSpec((8 * n_sub, _SUB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),     # sub-layout rays
             pl.BlockSpec((c_pad, 8), lambda i: (0, 0),    # child boxes
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((super_aabb.shape[0], 8), lambda i: (0, 0),
+            pl.BlockSpec((sup_in.shape[0], 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),     # super boxes
         ]
         scratch += [
@@ -870,8 +908,8 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         kernel = functools.partial(_kernel, block_l=block_l,
                                    n_clusters=n_clusters,
                                    with_attrs=with_attrs)
-        # reslab slices aligned groups of 8 boxes: pad with point-at-
-        # infinity sentinels (lo = hi => empty slab interval, see above)
+        # reslab slices aligned groups of 8 boxes: pad with far-point
+        # sentinels (culled by the near >= 1e38 gate term, see above)
         c8 = ((n_clusters + 7) // 8) * 8
         aabb8 = (jnp.concatenate(
             [aabb, jnp.full((c8 - n_clusters, 8), 3.0e38, jnp.float32)])

@@ -388,3 +388,73 @@ def test_flat_axis_aligned_mesh_is_not_culled():
     np.testing.assert_array_equal(hit, np.asarray(i_k) >= 0)
     np.testing.assert_allclose(np.asarray(t_k)[hit],
                                np.asarray(t_ref)[hit], rtol=1e-5)
+
+
+def test_sentinel_boxes_never_visited_by_sky_rays():
+    """Bucket-padding sentinels (every plane at +3e38) must not be
+    visited: under the closed-interval gate a no-hit ray into the
+    all-positive octant gets near == far == +inf on a far point box
+    (or exactly-equal finite products on the diagonal), which without
+    the near >= 1e38 term counts as a hit — every sky ray would then
+    visit every sentinel (and on the two-level HBM path, DMA rows that
+    do not exist)."""
+    import jax.numpy as jnp
+    from simple_raytracer_tpu.ops.pallas.bvh_kernel import _visit_prepass
+
+    aabb = np.zeros((2, 8), np.float32)
+    aabb[0, 0:3] = [-1, -1, -6]
+    aabb[0, 3:6] = [1, 1, -4]          # real box in front (-z)
+    aabb[1, 0:6] = 3.0e38              # sentinel
+
+    n = 128
+    # half the rays stare at the real box, half fly into +x+y+z sky
+    # (incl. the exact diagonal from the origin — equal finite products)
+    d = np.zeros((n, 3), np.float32)
+    d[: n // 2] = [0, 0, -1]
+    d[n // 2:] = 1.0 / np.sqrt(3.0)
+    o = np.zeros((n, 3), np.float32)
+    ov = Vec3.from_array(jnp.asarray(o))
+    dv = Vec3.from_array(jnp.asarray(d))
+    alive = jnp.ones((n,), jnp.float32)
+    t_init = jnp.full((n,), jnp.inf, jnp.float32)
+
+    visits, counts = _visit_prepass(ov, dv, alive, t_init,
+                                    jnp.asarray(aabb), n, 0)
+    word = int(np.asarray(visits)[0, 0])
+    assert word & 1, "real box must be visited"
+    assert not (word & 2), "sentinel must be culled"
+    assert int(np.asarray(counts)[0]) == 1
+
+
+def test_nan_ray_is_conservative_and_in_bounds():
+    """A ray whose state went NaN visits everything by design (NaN slab
+    results count as hits); on the HBM paths the DMA index clamp keeps
+    even those visits inside the table, and every NON-NaN ray's result
+    is unaffected."""
+    import jax.numpy as jnp
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    o, d = _rays(256, seed=5)
+    # poison ray 0
+    ox = np.asarray(o.x).copy(); ox[0] = np.nan
+    o = Vec3(jnp.asarray(ox), o.y, o.z)
+    alive = jnp.ones_like(o.x)
+    t_init = jnp.full_like(o.x, jnp.inf)
+
+    t_ref, i_ref = intersect_triangles(
+        Vec3(o.x[1:], o.y[1:], o.z[1:]),
+        Vec3(d.x[1:], d.y[1:], d.z[1:]), ds.triangles, chunk=4096)
+
+    for kw in ({"hbm_table": False},
+               {"hbm_table": True},
+               {"hbm_table": True, "table_tr": cl.table_tr},
+               {"hbm_table": True, "table_tr": cl.table_tr,
+                "prepass_level": "group"}):
+        t_k, i_k = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                           cl.table_t, block_r=128,
+                                           interpret=True, **kw)
+        t_k, i_k = np.asarray(t_k)[1:], np.asarray(i_k)[1:]
+        hit = np.isfinite(np.asarray(t_ref))
+        np.testing.assert_array_equal(hit, i_k >= 0, err_msg=str(kw))
+        np.testing.assert_allclose(t_k[hit], np.asarray(t_ref)[hit],
+                                   rtol=1e-5, err_msg=str(kw))

@@ -195,3 +195,44 @@ def test_uniform_unchanged_by_cast_emulation():
     r = (r >> np.uint32(22)) ^ r
     direct = np.asarray(r).astype(np.float32) * np.float32(2.0 ** -32)
     np.testing.assert_array_equal(np.asarray(u), direct)
+
+
+def test_megakernel_band_chunking_bit_identical(monkeypatch):
+    """Renders whose grid exceeds the per-call SMEM block budget split
+    into row bands (trace_full_fused) / column chunks (bounce_step);
+    band raygen re-derives the same global pixel seeds from row0 — the
+    same per-pixel math either way.  On TPU the per-band kernel program
+    is the identical code with different SMEM scalars (bit-identical);
+    interpret mode compiles each band SHAPE as its own XLA program with
+    its own FMA fusion, so the CPU comparison allows ~1-ulp noise (the
+    tolerance every cross-program test here uses)."""
+    import simple_raytracer_tpu.ops.pallas.bounce_kernel as bok
+
+    def canvas():
+        scene, camera, options = CONFIGS[2](width=64, height=48)
+        ds = scene.build()
+        f = make_render_step(64, 48, 1, 3, tri_backend="fused",
+                             ray_tile=(8, 64), jit=False)
+        c = jnp.zeros((48, 64, 3), jnp.float32)
+        return np.asarray(f(ds, camera.state(64 / 48), c, jnp.uint32(17)))
+
+    a = canvas()                                   # 64*48/1536 = 2 blocks
+    monkeypatch.setattr(bok, "MEGA_MAX_BLOCKS", 1)  # force 1 block/call
+    b = canvas()
+    np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-7)
+
+    # the clustered-mesh scene exercises bounce_step's column chunking
+    # through the split path as well
+    def mesh_canvas():
+        scene, camera, options = CONFIGS[5](width=64, height=36)
+        ds = scene.build()
+        f = make_render_step(64, 36, 1, 2, tri_backend="fused",
+                             ray_tile=None, jit=False)
+        c = jnp.zeros((36, 64, 3), jnp.float32)
+        return np.asarray(f(ds, camera.state(64 / 36), c, jnp.uint32(23)))
+
+    monkeypatch.setattr(bok, "MEGA_MAX_BLOCKS", 1600)
+    ma = mesh_canvas()
+    monkeypatch.setattr(bok, "MEGA_MAX_BLOCKS", 1)
+    mb = mesh_canvas()
+    np.testing.assert_allclose(ma, mb, rtol=2e-6, atol=2e-7)
