@@ -49,10 +49,11 @@ def run(label, k, backend, strip_packed=False, prepass="super",
 
 
 if __name__ == "__main__":
-    run("mega K=128", None, "auto")
-    run("mega K=128 s4", None, "auto", mt_slices=4)
-    run("mega K=128 s12", None, "auto", mt_slices=12)
-    run("split K=128", None, "bvh")
+    # "fused" forces the megakernel at this scale (auto now routes 82K
+    # tris to the measured-faster split path)
+    run("mega K=128", None, "fused")
+    run("mega K=128 s4", None, "fused", mt_slices=4)
     run("split K=128 2lv", None, "bvh", prepass="group")
-    run("split K=64", 64, "bvh")
-    run("split K=64 row", 64, "bvh", strip_packed=True)
+    run("split K=128 1lv", None, "bvh", prepass="super")
+    run("split K=64", 64, "bvh", prepass="group")
+    run("auto (routed)", None, "auto")

@@ -209,9 +209,19 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
     mega_tris = (n_tris == 0
                  or (n_tris <= SMALL_TRIS_MAX and cl is None)
                  or (cl is not None
-                     and cl.table_t.shape[0] <= VMEM_TABLE_MAX_SLOTS)
-                 or (cl is not None and cl.table_tr is not None
-                     and cl.table_tr.shape[0] <= MEGA_PACKED_MAX_CLUSTERS))
+                     and cl.table_t.shape[0] <= VMEM_TABLE_MAX_SLOTS))
+    if tri_backend == "fused":
+        # a forced megakernel additionally serves large meshes from the
+        # VMEM-resident PACKED table (in-kernel BVH).  MEASURED SLOWER
+        # than the split path at 82K tris (23.8 vs 58.8 Mrays/s,
+        # scripts/sweep_config6.py on v5e): the in-kernel group scan
+        # re-traverses per bounce without the dense XLA prepass or the
+        # per-sub-block MT gating, so "auto" routes big meshes to the
+        # split per-bounce path below and "fused" keeps this form
+        # reachable for tests and regression sweeps.
+        mega_tris = mega_tris or (
+            cl is not None and cl.table_tr is not None
+            and cl.table_tr.shape[0] <= MEGA_PACKED_MAX_CLUSTERS)
     use_mega = (not show_normals and mega_tris
                 and tri_backend in ("auto", "fused")
                 and (tri_backend == "fused"
