@@ -654,6 +654,161 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
 # residence (4 MB — leaves room for the (K, BR) compute temporaries).
 VMEM_TABLE_MAX_SLOTS = 8192
 
+# The PACKED table (24 rows x 512 B per cluster, see _TROWS) is 5.3x
+# denser, so meshes far beyond VMEM_TABLE_MAX_SLOTS still fit VMEM whole:
+# 800 clusters = 9.6 MB = ~102K triangles at K=128.  Residence removes
+# the per-visit DMA wait entirely — the dominant cost of the
+# direction-incoherent secondary bounces, where a block visits many
+# clusters but each MT gates down to a few 128-lane sub-blocks, so the
+# double-buffered pipeline has too little math to hide the copy latency
+# behind (measured on config 6, 82K tris: bounce 2 alone cost 86 ms of
+# the 149 ms step on the DMA path).  Same budget reasoning as
+# bounce_kernel.MEGA_PACKED_MAX_CLUSTERS.
+PACKED_VMEM_MAX_CLUSTERS = int(
+    __import__("os").environ.get("SRT_BVH_PACKED_VMEM_MAX", "800"))
+
+
+def _kernel_packed(visit, count, order, rays, table_v, rays_sub, aabb,
+                   sup, out, t_scr, idx_scr, attr_scr, t_sub, *,
+                   n_clusters, n_table_clusters, with_attrs, n_sub,
+                   two_level):
+    """VMEM-resident PACKED-table variant: the full (C, 24, 128) packed
+    table rides VMEM for the whole kernel (viewed as (C*24, 128) rows),
+    so a visited cluster costs one aligned slice + one exact MXU
+    transpose — no DMA, no wait, no SMEM visit list.  Culling structure
+    is identical to _kernel_hbm (three levels: XLA prepass gates groups
+    or supers per ray block; the kernel refines supers -> children with
+    lane-wide slab words against the live best t; each surviving cluster
+    is re-slabbed per 128-lane SUB-BLOCK and Moller-Trumbore runs only
+    on sub-blocks whose bit is set).  Results are bit-identical to the
+    dense path (same _mt_update_sub commit, same cross-cluster
+    lowest-global-index tie-break)."""
+    b = pl.program_id(0)
+    t_scr[...] = rays[7:8, :]
+    idx_scr[...] = jnp.full(idx_scr.shape, -1, jnp.int32)
+    if with_attrs:
+        attr_scr[...] = jnp.zeros(attr_scr.shape, jnp.float32)
+
+    rox = rays[0:1, :]
+    roy = rays[1:2, :]
+    roz = rays[2:3, :]
+    inx = 1.0 / rays[3:4, :]
+    iny = 1.0 / rays[4:5, :]
+    inz = 1.0 / rays[5:6, :]
+    live = rays[6:7, :] > 0.0
+
+    rs = rays_sub[...]
+    sb = lambda f: rs[f * n_sub:(f + 1) * n_sub, :]    # (SB, 128)
+    sox, soy, soz = sb(0), sb(1), sb(2)
+    six = 1.0 / sb(3)
+    siy = 1.0 / sb(4)
+    siz = 1.0 / sb(5)
+    slive = sb(6) > 0.0
+    t_sub[...] = sb(7)
+    pow2 = (2.0 ** jax.lax.broadcasted_iota(
+        jnp.int32, (n_sub, 1), 0).astype(jnp.float32))
+    iota16 = jax.lax.broadcasted_iota(jnp.int32, (_SUPER, 1), 0)
+
+    def _sub_word(c):
+        """Per-128-lane-sub-block slab word for cluster c under the LIVE
+        best t (same math as _kernel_hbm's — see its docstring)."""
+        g0 = (c // _SUPER) * _SUPER
+        tile = aabb[pl.ds(pl.multiple_of(g0, _SUPER), _SUPER), :]
+        onehot = jnp.where(iota16 == c % _SUPER, 1.0, 0.0)
+        bx = lambda k: jnp.sum(tile[:, k:k + 1] * onehot)
+        t1x = (bx(0) - sox) * six
+        t2x = (bx(3) - sox) * six
+        t1y = (bx(1) - soy) * siy
+        t2y = (bx(4) - soy) * siy
+        t1z = (bx(2) - soz) * siz
+        t2z = (bx(5) - soz) * siz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.minimum(t1y, t2y)),
+                           jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                      jnp.maximum(t1y, t2y)),
+                          jnp.minimum(jnp.maximum(t1z, t2z), t_sub[...]))
+        maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & slive
+        flags = jnp.max(jnp.where(maybe, 1.0, 0.0), axis=1, keepdims=True)
+        return jnp.sum(flags * pow2).astype(jnp.int32)
+
+    def handle_cluster(c):
+        """Sub-block gate + MT for one visited cluster, straight from the
+        resident table.  `c` is clamped like _kernel_hbm's dma(): a
+        NaN-state ray conservatively visits kernel-side two-level padding
+        ids that have no table tile; the duplicate visit of a real tile
+        is idempotent under the running-min commit."""
+        c = jnp.minimum(c, n_table_clusters - 1)
+        word = _sub_word(c)
+
+        @pl.when(word != 0)
+        def _():
+            row0 = pl.multiple_of(c * _TROWS, _TROWS)
+            tile = _tile_transpose(table_v[pl.ds(row0, _TROWS), :])
+            for s in range(n_sub):
+                @pl.when(((word >> s) & 1) > 0)
+                def _(s=s):
+                    _mt_update_sub(tile, rays, t_scr, idx_scr, attr_scr,
+                                   t_sub, s, with_attrs)
+
+    def visit_super(s, n):
+        tile = aabb[pl.ds(s * _SUPER, _SUPER), :]
+        word = _slab_word(tile, rox, roy, roz, inx, iny, inz, live, t_scr)
+
+        def child_bits(nn):
+            def bit(i, nn):
+                @pl.when(((word >> i) & 1) > 0)
+                def _():
+                    handle_cluster(s * _SUPER + i)
+                return nn
+            return jax.lax.fori_loop(0, _SUPER, bit, nn)
+
+        return jax.lax.cond(word != 0, child_bits, lambda nn: nn, n)
+
+    if two_level:
+        def visit_group(g, n):
+            tile = sup[pl.ds(pl.multiple_of(g * _GROUP, _GROUP), _GROUP),
+                       :]
+            word = _slab_word(tile, rox, roy, roz, inx, iny, inz, live,
+                              t_scr)
+
+            def super_bits(nn):
+                def bit(i, nn):
+                    return jax.lax.cond(
+                        ((word >> i) & 1) > 0,
+                        lambda m: visit_super(g * _GROUP + i, m),
+                        lambda m: m, nn)
+                return jax.lax.fori_loop(0, _GROUP, bit, nn)
+
+            return jax.lax.cond(word != 0, super_bits, lambda nn: nn, n)
+
+        def scan_top(j, n):
+            g = order[j]
+            bit = (visit[b, g // 32] >> (g % 32)) & 1
+            return jax.lax.cond(bit > 0, lambda nn: visit_group(g, nn),
+                                lambda nn: nn, n)
+
+        n_top = (n_clusters // _SUPER) // _GROUP
+    else:
+        def scan_top(j, n):
+            s = order[j]
+            bit = (visit[b, s // 32] >> (s % 32)) & 1
+            return jax.lax.cond(bit > 0, lambda nn: visit_super(s, nn),
+                                lambda nn: nn, n)
+
+        n_top = n_clusters // _SUPER
+
+    @pl.when(count[b] > 0)
+    def _():
+        jax.lax.fori_loop(0, n_top, scan_top, 0)
+
+    no_win = idx_scr[...] < 0
+    t_out = jnp.where(no_win, jnp.float32(jnp.inf), t_scr[...])
+    rows = [t_out, pltpu.bitcast(idx_scr[...], jnp.float32)]
+    if with_attrs:
+        rows.append(attr_scr[...])
+    out[...] = jnp.concatenate(rows, axis=0)
+
 
 def _sort_rays_by_super(o, d, alive, t_init, super_aabb, order):
     """Per-ray sort key: the front-to-back RANK of the first supercluster
@@ -706,7 +861,7 @@ def _sort_rays_by_super(o, d, alive, t_init, super_aabb, order):
 @functools.partial(jax.jit,
                    static_argnames=("block_r", "interpret", "with_attrs",
                                     "hbm_table", "sort_rays",
-                                    "prepass_level"))
+                                    "prepass_level", "packed_vmem"))
 def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             t_init: jnp.ndarray, aabb: jnp.ndarray,
                             table_t: jnp.ndarray, block_r: int = 1536,
@@ -715,7 +870,8 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             hbm_table: Optional[bool] = None,
                             sort_rays: Optional[bool] = None,
                             table_tr: Optional[jnp.ndarray] = None,
-                            prepass_level: str = "group"):
+                            prepass_level: str = "group",
+                            packed_vmem: Optional[bool] = None):
     """(R,) rays x clustered triangles -> nearest-hit per ray.
 
     `alive`: (R,) f32 mask — dead rays generate no cluster visits.
@@ -732,7 +888,11 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     58.8 vs 54.4 Mrays/s on v5e) gates GROUPS of _GROUP supers in the
     XLA prepass (~15x cheaper than per-super) and refines groups ->
     supers inside the kernel; "super" gates superclusters directly.
-    Both are result-identical; HBM path only.
+    Both are result-identical; HBM and packed-VMEM paths only.
+    `packed_vmem`: keep the PACKED table (table_tr) VMEM-resident for
+    the whole kernel — no per-visit DMA (see PACKED_VMEM_MAX_CLUSTERS).
+    None picks it automatically for tables too big for row-VMEM
+    residence but small enough packed; requires table_tr.
     Returns (t_best (R,), idx_best (R,) i32) with idx == -1 and t == +inf
     where no triangle won; with_attrs=True additionally returns the
     winner's (19, R) shading attributes [v0, e1, e2, n0, n1, n2, mat]."""
@@ -740,7 +900,16 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     n_clusters = aabb.shape[0]
     block_l = table_t.shape[0] // max(n_clusters, 1)
     n_out = 2 + (_N_ATTRS if with_attrs else 0)
-    if hbm_table is None:
+    if packed_vmem is None:
+        packed_vmem = (hbm_table is not True
+                       and table_t.shape[0] > VMEM_TABLE_MAX_SLOTS
+                       and table_tr is not None
+                       and table_tr.shape[0] <= PACKED_VMEM_MAX_CLUSTERS)
+    if packed_vmem:
+        if table_tr is None:
+            raise ValueError("packed_vmem=True requires table_tr")
+        hbm_table = False
+    elif hbm_table is None:
         hbm_table = table_t.shape[0] > VMEM_TABLE_MAX_SLOTS
     if sort_rays is None:
         sort_rays = False   # measured 13x SLOWER when on — see docstring
@@ -762,7 +931,7 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                 block_r=block_r, interpret=interpret,
                 with_attrs=with_attrs, hbm_table=hbm_table,
                 sort_rays=sort_rays, table_tr=table_tr,
-                prepass_level=prepass_level))
+                prepass_level=prepass_level, packed_vmem=packed_vmem))
         return tuple(jnp.concatenate([p[i] for p in parts], axis=-1)
                      for i in range(len(parts[0])))
 
@@ -779,9 +948,9 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         d2 = jnp.sum((centers - origin[None, :]) ** 2, axis=1)
         return jnp.argsort(d2).astype(jnp.int32)
 
-    two_level = hbm_table and prepass_level == "group"
+    two_level = (hbm_table or packed_vmem) and prepass_level == "group"
     super_aabb = top_aabb = order = None
-    if hbm_table:
+    if hbm_table or packed_vmem:
         # Pad the cluster list to a _SUPER (or _SUPER*_GROUP) multiple
         # with far-point sentinel boxes (every plane at +3e38 — culled
         # by the slab gates' near >= 1e38 term, see _visit_prepass) and
@@ -861,20 +1030,14 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         pltpu.VMEM((1, block_r), jnp.int32),
         pltpu.VMEM((_N_ATTRS if with_attrs else 1, block_r), jnp.float32),
     ]
-    if hbm_table:
-        # HBM path: the XLA prepass gates SUPERCLUSTERS (groups of
-        # _SUPER, boxes built above); the kernel refines to children.
-        # c_pad / aabb_pad carry over from the super-box construction
-        # above (same quantum, same sentinel rows).
+    if hbm_table or packed_vmem:
+        # Streaming/packed paths: the XLA prepass gates SUPERCLUSTERS
+        # (groups of _SUPER, boxes built above) or GROUPS of supers; the
+        # kernel refines to children.  c_pad / aabb_pad carry over from
+        # the super-box construction above (same quantum, sentinels).
         visits, counts = _visit_prepass(o, d, alive, t_init, top_aabb,
                                         block_r, pad_r)
         n_sub = block_r // _SUB
-        packed = table_tr is not None
-        table_op = table_tr if packed else table_t
-        kernel = functools.partial(_kernel_hbm, block_l=block_l,
-                                   n_clusters=c_pad,
-                                   with_attrs=with_attrs, n_sub=n_sub,
-                                   packed=packed, two_level=two_level)
         # (field * SB + s, 128) transposed ray layout for the per-sub-
         # block slab words (fields: o.xyz, d.xyz, alive, t_init)
         rays_sub = (rays.reshape(8, rp // block_r, n_sub, _SUB)
@@ -884,8 +1047,7 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         # full super table's VMEM residency + per-call DMA for nothing
         sup_in = super_aabb if two_level else super_aabb[:8]
         extra_in = [rays_sub, aabb_pad, sup_in]
-        extra_specs = [
-            pl.BlockSpec(memory_space=pl.ANY),         # table in HBM
+        common_specs = [
             pl.BlockSpec((8 * n_sub, _SUB), lambda i: (0, i),
                          memory_space=pltpu.VMEM),     # sub-layout rays
             pl.BlockSpec((c_pad, 8), lambda i: (0, 0),    # child boxes
@@ -894,13 +1056,36 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                          memory_space=pltpu.VMEM),     # super boxes
         ]
         scratch += [
-            pltpu.VMEM((n_sub, _SUB), jnp.float32),       # live t, sub layout
-            pltpu.SMEM((1, c_pad), jnp.int32),            # visit list
-            pltpu.VMEM((2, _TROWS, 128) if packed
-                       else (2, block_l, table_t.shape[1]),
-                       jnp.float32),                      # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_sub, _SUB), jnp.float32),    # live t, sub layout
         ]
+        if packed_vmem:
+            # whole packed table resident in VMEM, viewed as 2-D rows
+            table_op = table_tr.reshape(-1, 128)
+            kernel = functools.partial(
+                _kernel_packed, n_clusters=c_pad,
+                n_table_clusters=table_tr.shape[0],
+                with_attrs=with_attrs, n_sub=n_sub, two_level=two_level)
+            extra_specs = [
+                pl.BlockSpec((table_op.shape[0], 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + common_specs
+        else:
+            packed = table_tr is not None
+            table_op = table_tr if packed else table_t
+            kernel = functools.partial(_kernel_hbm, block_l=block_l,
+                                       n_clusters=c_pad,
+                                       with_attrs=with_attrs, n_sub=n_sub,
+                                       packed=packed, two_level=two_level)
+            extra_specs = [
+                pl.BlockSpec(memory_space=pl.ANY),     # table in HBM
+            ] + common_specs
+            scratch += [
+                pltpu.SMEM((1, c_pad), jnp.int32),        # visit list
+                pltpu.VMEM((2, _TROWS, 128) if packed
+                           else (2, block_l, table_t.shape[1]),
+                           jnp.float32),                  # double buffer
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
     else:
         table_op = table_t
         visits, counts = _visit_prepass(o, d, alive, t_init, aabb,
