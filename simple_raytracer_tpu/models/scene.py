@@ -377,9 +377,32 @@ class Scene:
                     table_t.reshape(c, k, 128)[:, :, :21]
                     .transpose(0, 2, 1))
                 table_tr = jnp.asarray(table_tr)
+            # third culling level: 8 equal slot-range sub-boxes per
+            # cluster (K/8 triangles each — contiguous BVH-DFS subtree
+            # ranges, so spatially tight).  The streaming/packed kernels
+            # gate Moller-Trumbore per (sub-box, 128-ray sub-block) with
+            # them; empty ranges become far-point sentinels the slab
+            # gates cull (near >= 1e38, see bvh_kernel._visit_prepass).
+            # K % 64 keeps every (K/8)-row sub-tile slice 8-sublane
+            # aligned (Mosaic's dynamic sublane-slice requirement)
+            sub_aabb = None
+            if k % 64 == 0:
+                vx = pos[si].reshape(c, 8, (k // 8) * 3, 3)
+                mask = valid.reshape(c, 8, k // 8, 1)
+                big = np.float32(3.0e38)
+                mx = np.repeat(mask, 3, axis=2)      # one flag per vertex
+                lo = np.where(mx, vx, big).min(axis=2)
+                hi = np.where(mx, vx, -big).max(axis=2)
+                empty = hi[:, :, 0:1] < lo[:, :, 0:1]
+                lo = np.where(empty, big, lo)
+                hi = np.where(empty, big, hi)
+                sub_aabb = np.zeros((c * 8, 8), np.float32)
+                sub_aabb[:, 0:3] = lo.reshape(c * 8, 3)
+                sub_aabb[:, 3:6] = hi.reshape(c * 8, 3)
+                sub_aabb = jnp.asarray(sub_aabb)
             clusters_soa = TriangleClustersSoA(
                 aabb=jnp.asarray(cl.aabb), table_t=jnp.asarray(table_t),
-                table_tr=table_tr)
+                table_tr=table_tr, sub_aabb=sub_aabb)
 
         cap = _bucket(n)
         pad = cap - n

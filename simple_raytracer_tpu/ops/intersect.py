@@ -256,7 +256,7 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         t_t, i_t, tri_attrs = intersect_triangles_bvh(
             o, d, alive_f, t_seed, cl.aabb, cl.table_t, with_attrs=True,
             hbm_table=True if tri_backend == "clustered" else None,
-            table_tr=cl.table_tr)
+            table_tr=cl.table_tr, sub_aabb=cl.sub_aabb)
         i_t = jnp.maximum(i_t, 0)   # -1 (no win) -> any index; t is +inf
     elif tri_backend == "pallas":
         from .pallas.triangle_kernel import (intersect_triangles_pallas,

@@ -147,10 +147,22 @@ class TriangleClustersSoA(NamedTuple):
     SUBLANES and the cluster's K<=128 triangles on LANES, so a per-visit
     DMA moves 96 B/triangle instead of the row layout's 512 (the kernel
     transposes the tile back on-chip).  None when K > 128 (no packed
-    form — the kernel falls back to row-tile streaming)."""
+    form — the kernel falls back to row-tile streaming).
+
+    sub_aabb is a third, finer culling level INSIDE each cluster: 8
+    equal slot-range sub-boxes of K/8 triangles each (slot ranges are
+    contiguous BVH-DFS subtrees, so they stay spatially tight).  The
+    streaming/packed kernels slab them per gated 128-ray sub-block and
+    run Moller-Trumbore only on hit (K/8, 128) sub-tiles — the MT work
+    itself was the measured bounce-2 bottleneck (51 of 58 ms at 82K
+    triangles), and most of a visited cluster's K triangles are provably
+    unreachable for any given 128 rays.  Empty ranges (padding slots)
+    are far-point sentinels culled by the slab gates' near >= 1e38 term.
+    None when K isn't a multiple of 8 (no aligned sub-tiles)."""
     aabb: jnp.ndarray      # (C, 8) f32: [min.xyz, max.xyz, pad, pad]
     table_t: jnp.ndarray   # (C*K, 128) f32
     table_tr: Optional[jnp.ndarray] = None   # (C, 24, 128) f32 packed
+    sub_aabb: Optional[jnp.ndarray] = None   # (C*8, 8) f32 sub-boxes
 
 
 class MaterialsSoA(NamedTuple):

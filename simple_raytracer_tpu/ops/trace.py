@@ -101,7 +101,7 @@ def trace_rays_fused(scene: DeviceScene, o: Vec3, d: Vec3,
             t_t, _, attrs = intersect_triangles_bvh(
                 ro, rd, state[7], t_seed, cl.aabb, cl.table_t,
                 block_r=bvh_block_r, with_attrs=True, interpret=interpret,
-                table_tr=cl.table_tr)
+                table_tr=cl.table_tr, sub_aabb=cl.sub_aabb)
             tri_rows = jnp.concatenate([t_t[None], attrs], axis=0)
         state = bounce_step(state, is_last, sph_tab, pln_tab, mat_tab,
                             tri_rows=tri_rows, block_r=block_r,

@@ -513,3 +513,68 @@ def test_nan_ray_is_conservative_and_in_bounds():
         np.testing.assert_array_equal(hit, i_k >= 0, err_msg=str(kw))
         np.testing.assert_allclose(t_k[hit], np.asarray(t_ref)[hit],
                                    rtol=1e-5, err_msg=str(kw))
+
+
+@pytest.mark.parametrize("variant", ["packed_vmem", "hbm_packed",
+                                     "hbm_rows"])
+def test_subbox_gating_is_bit_identical(variant):
+    """The fourth culling level (per-cluster sub-boxes gating MT to
+    (K/8, 128) sub-tiles — TriangleClustersSoA.sub_aabb) is a pure
+    skip-provably-unreachable-work optimization: every kernel variant
+    returns bit-identical (t, idx, attrs) for LIVE rays with and
+    without it, under a mixed finite t_init seed.  Dead rays are
+    unspecified either way (the sub-box word masks them out, so a dead
+    ray sharing a block with live rays may see fewer incidental
+    commits); assert only the decodes-cleanly contract for them."""
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    assert cl.sub_aabb is not None          # K=128 -> built by Scene
+    assert cl.sub_aabb.shape == (cl.aabb.shape[0] * 8, 8)
+    o, d = _rays(640, seed=31)
+    alive = (jnp.arange(640) % 9 != 0).astype(jnp.float32)
+    t_init = jnp.where(jnp.arange(640) % 5 == 0, 2.5, jnp.inf)
+    kw = dict(block_r=128, interpret=True, with_attrs=True)
+    if variant == "packed_vmem":
+        kw.update(table_tr=cl.table_tr, packed_vmem=True)
+    elif variant == "hbm_packed":
+        kw.update(hbm_table=True, table_tr=cl.table_tr)
+    else:
+        kw.update(hbm_table=True)
+    base = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                   cl.table_t, **kw)
+    got = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                  cl.table_t, sub_aabb=cl.sub_aabb, **kw)
+    live = np.asarray(alive) > 0
+    for x, y in zip(base, got):
+        np.testing.assert_array_equal(np.asarray(x)[..., live],
+                                      np.asarray(y)[..., live])
+    assert (np.asarray(got[1]) >= 0).any()
+    dead_idx = np.asarray(got[1])[~live]
+    assert ((dead_idx == -1) | (dead_idx >= 0)).all()
+
+
+def test_scene_build_sub_aabb_bounds_slots():
+    """sub_aabb sub-box j of cluster c bounds exactly the valid
+    triangles in slot range [j*K/8, (j+1)*K/8); all-padding ranges are
+    far-point sentinels (>= 1e38) the slab gates cull."""
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    sub = np.asarray(cl.sub_aabb)
+    tab = np.asarray(cl.table_t)
+    c_n = cl.aabb.shape[0]
+    k = tab.shape[0] // c_n
+    for c in range(c_n):
+        rows = tab[c * k:(c + 1) * k]
+        for j in range(8):
+            r = rows[j * (k // 8):(j + 1) * (k // 8)]
+            r = r[r[:, 19] > 0]
+            box = sub[c * 8 + j]
+            if len(r) == 0:
+                assert (box[0:6] >= 1e38).all()
+                continue
+            verts = np.stack([r[:, 0:3],
+                              r[:, 0:3] + r[:, 3:6],
+                              r[:, 0:3] + r[:, 6:9]], axis=1)
+            lo, hi = verts.reshape(-1, 3).min(0), verts.reshape(-1, 3).max(0)
+            np.testing.assert_allclose(box[0:3], lo, rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(box[3:6], hi, rtol=1e-6, atol=1e-6)
