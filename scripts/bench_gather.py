@@ -31,6 +31,15 @@ H, W = 1024, 2048
 
 def t(f, *args, iters=20):
     r = jax.block_until_ready(f(*args))
+    # One device->host readback flips the axon tunnel into its
+    # synchronous (honest) mode for the rest of the process: before the
+    # FIRST d2h transfer, block_until_ready returns without waiting for
+    # real execution, so readback-free loops time nothing (measured: a
+    # 2048^3 f32 matmul "takes" 0.02 ms = 770 TFLOP/s on a v5e).  In
+    # honest mode each dispatch costs ~0.9 ms (the floor printed below);
+    # timings here block once at the end, so per-iter cost ~= device
+    # time + ~0.9 ms dispatch.
+    np.asarray(r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = f(*args)
@@ -40,6 +49,10 @@ def t(f, *args, iters=20):
 
 def main():
     rng = np.random.default_rng(0)
+    # dispatch-floor reference: an empty-ish op, same readback pattern
+    z = jnp.float32(1.0)
+    floor = t(jax.jit(lambda x: x + 1.0), z)
+    print(f"dispatch+readback floor: {floor:7.2f} ms", flush=True)
     idx_np = rng.integers(0, H * W, N, dtype=np.int64).astype(np.int32)
     idx = jnp.asarray(idx_np)
     idx_sorted = jnp.asarray(np.sort(idx_np))

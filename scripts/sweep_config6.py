@@ -23,9 +23,10 @@ ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 
 
 def run(label, k, backend, strip_packed=False, prepass="super",
-        mt_slices=1):
+        mt_slices=1, subbox="0", block_r=None):
     import simple_raytracer_tpu.ops.pallas.bounce_kernel as bok
     bok.MEGA_MT_SLICES = mt_slices
+    os.environ["SRT_BVH_SUBBOX"] = subbox
     scene, camera, _ = CONFIGS[6]()
     scene.cluster_size = k
     orig = bk.intersect_triangles_bvh
@@ -34,6 +35,8 @@ def run(label, k, backend, strip_packed=False, prepass="super",
         if strip_packed:
             kw["table_tr"] = None
         kw["prepass_level"] = prepass
+        if block_r is not None:
+            kw["block_r"] = block_r
         return orig(*a, **kw)
 
     bk.intersect_triangles_bvh = shim
@@ -51,9 +54,9 @@ def run(label, k, backend, strip_packed=False, prepass="super",
 if __name__ == "__main__":
     # "fused" forces the megakernel at this scale (auto now routes 82K
     # tris to the measured-faster split path)
-    run("mega K=128", None, "fused")
-    run("mega K=128 s4", None, "fused", mt_slices=4)
     run("split K=128 2lv", None, "bvh", prepass="group")
-    run("split K=128 1lv", None, "bvh", prepass="super")
-    run("split K=64", 64, "bvh", prepass="group")
+    run("split 2lv b1024", None, "bvh", prepass="group", block_r=1024)
+    run("split 2lv b768", None, "bvh", prepass="group", block_r=768)
+    run("split 2lv b512", None, "bvh", prepass="group", block_r=512)
+    run("split 2lv b256", None, "bvh", prepass="group", block_r=256)
     run("auto (routed)", None, "auto")

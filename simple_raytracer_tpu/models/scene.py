@@ -377,12 +377,14 @@ class Scene:
                     table_t.reshape(c, k, 128)[:, :, :21]
                     .transpose(0, 2, 1))
                 table_tr = jnp.asarray(table_tr)
-            # third culling level: 8 equal slot-range sub-boxes per
-            # cluster (K/8 triangles each — contiguous BVH-DFS subtree
-            # ranges, so spatially tight).  The streaming/packed kernels
-            # gate Moller-Trumbore per (sub-box, 128-ray sub-block) with
-            # them; empty ranges become far-point sentinels the slab
-            # gates cull (near >= 1e38, see bvh_kernel._visit_prepass).
+            # 8 equal slot-range sub-boxes per cluster (K/8 triangles
+            # each — contiguous BVH-DFS subtree ranges, so spatially
+            # tight).  OPT-IN culling level (bvh_kernel.maybe_sub_aabb —
+            # measured slower than plain per-sub-block MT on v5e): when
+            # enabled the streaming/packed kernels gate Moller-Trumbore
+            # per (sub-box, 128-ray sub-block) with them; empty ranges
+            # become far-point sentinels the slab gates cull
+            # (near >= 1e38, see bvh_kernel._visit_prepass).
             # K % 64 keeps every (K/8)-row sub-tile slice 8-sublane
             # aligned (Mosaic's dynamic sublane-slice requirement)
             sub_aabb = None

@@ -242,7 +242,8 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
     tri_attrs = None
     if not has_tris:
         t_t, i_t = inf, zero_i
-    elif tri_backend in ("bvh", "clustered") \
+    elif (tri_backend in ("bvh", "clustered")
+          or (tri_backend == "auto" and jax.default_backend() == "tpu")) \
             and scene.triangles.clusters is not None:
         from .pallas.bvh_kernel import intersect_triangles_bvh
         alive_f = (jnp.ones_like(o.x) if alive is None
@@ -253,10 +254,12 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         t_seed = jnp.minimum(t_s, t_p)
         # "clustered" (the round-1 backend name) forces the HBM/DMA table
         # placement; "bvh" lets the kernel pick by table size
+        from .pallas.bvh_kernel import maybe_sub_aabb
+        sub, sdiv = maybe_sub_aabb(cl)
         t_t, i_t, tri_attrs = intersect_triangles_bvh(
             o, d, alive_f, t_seed, cl.aabb, cl.table_t, with_attrs=True,
             hbm_table=True if tri_backend == "clustered" else None,
-            table_tr=cl.table_tr, sub_aabb=cl.sub_aabb)
+            table_tr=cl.table_tr, sub_aabb=sub, sub_div=sdiv)
         i_t = jnp.maximum(i_t, 0)   # -1 (no win) -> any index; t is +inf
     elif tri_backend == "pallas":
         from .pallas.triangle_kernel import (intersect_triangles_pallas,

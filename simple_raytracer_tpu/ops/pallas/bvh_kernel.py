@@ -415,13 +415,14 @@ def _subbox_word(subb, c, s, sox, soy, soz, six, siy, siz, slive, t_sub):
     """Slab cluster c's 8 SUB-boxes (K/8-triangle slot ranges — see
     TriangleClustersSoA.sub_aabb) against sub-block s's 128 rays under
     that sub-block's LIVE best t; returns an i32 word whose bit j gates
-    sub-box j's Moller-Trumbore.  The fourth and finest culling level:
-    a visited (cluster, sub-block) pair typically needs only 1-3 of the
-    8 sub-tiles, and MT on a (K/8, 128) sub-tile costs 1/8th of the
-    full (K, 128) tile — the full-tile MT was the measured bounce-2
-    bottleneck (51 of 58 ms at 82K triangles).  Same conservative slab
-    semantics as every other gate (closed interval, NaN counts as hit,
-    near >= 1e38 rejects sentinel boxes), so skips are result-neutral."""
+    sub-box j's Moller-Trumbore.  A fourth, finest culling level — OPT-IN
+    only (SRT_BVH_SUBBOX): measured on v5e at 82K tris it LOSES to plain
+    per-sub-block MT at every division (48-51 vs 62.3 Mrays/s for
+    div 8/4/2), because the incoherent-bounce cost floor is per-(block,
+    cluster) slab work, which this level adds to, not the MT lanes it
+    removes.  Same conservative slab semantics as every other gate
+    (closed interval, NaN counts as hit, near >= 1e38 rejects sentinel
+    boxes), so skips are result-neutral."""
     tile = subb[pl.ds(pl.multiple_of(c * 8, 8), 8), :]      # (8, 8)
     col = lambda j: tile[:, j:j + 1]
     sl = slice(s, s + 1)                                    # s is static
@@ -447,29 +448,30 @@ def _subbox_word(subb, c, s, sox, soy, soz, six, siy, siz, slive, t_sub):
     return jnp.sum(flags * pow2).astype(jnp.int32)
 
 
-def _mt_gated_sub(tile_scr, subb, c, s, rays, t_scr, idx_scr, attr_scr,
+def _mt_gated_sub(tile, subb, c, s, rays, t_scr, idx_scr, attr_scr,
                   t_sub, sox, soy, soz, six, siy, siz, slive, sub_rows,
-                  with_attrs):
+                  n_boxes, with_attrs):
     """Sub-box-gated Moller-Trumbore for one (visited cluster c,
-    gated ray sub-block s): slab the 8 sub-boxes, then run
-    _mt_update_sub on each hit (sub_rows, 128) sub-tile sliced from the
-    MT-oriented tile staged in the tile_scr VMEM scratch.  The sub-box
-    word is computed once against the t bound live at entry; MT commits
-    inside the loop only tighten it, so later skips stay conservative."""
+    gated ray sub-block s): slab the n_boxes sub-boxes, then run
+    _mt_update_sub on each hit (sub_rows, ·) STATIC slice of the
+    MT-oriented tile value.  Static slices make the sub-tiles free —
+    the first-cut form staged the tile in a VMEM scratch and dynamically
+    sliced it from a fori_loop, and the staging copy + dynamic sublane
+    slicing measured SLOWER than no gating at all (47.4 vs 58.8 Mrays/s
+    at 82K tris).  The sub-box word is computed once against the t bound
+    live at entry; MT commits inside the loop only tighten it, so later
+    skips stay conservative."""
     bw = _subbox_word(subb, c, s, sox, soy, soz, six, siy, siz, slive,
                       t_sub)
 
     @pl.when(bw != 0)
     def _():
-        def sub_body(j, _):
+        for j in range(n_boxes):
             @pl.when(((bw >> j) & 1) > 0)
-            def _():
-                r0 = pl.multiple_of(j * sub_rows, sub_rows)
-                _mt_update_sub(tile_scr[pl.ds(r0, sub_rows), :], rays,
-                               t_scr, idx_scr, attr_scr, t_sub, s,
+            def _(j=j):
+                _mt_update_sub(tile[j * sub_rows:(j + 1) * sub_rows, :],
+                               rays, t_scr, idx_scr, attr_scr, t_sub, s,
                                with_attrs)
-            return 0
-        jax.lax.fori_loop(0, 8, sub_body, 0)
 
 
 def _tile_transpose(tile):
@@ -494,8 +496,8 @@ def _tile_transpose(tile):
 
 def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
                 sup, subb, out, t_scr, idx_scr, attr_scr, t_sub, lst, buf,
-                sems, tile_scr, *, block_l, n_clusters, with_attrs, n_sub,
-                packed, two_level, sub_rows):
+                sems, *, block_l, n_clusters, with_attrs, n_sub,
+                packed, two_level, sub_rows, n_boxes):
     """HBM-table variant for meshes too large for VMEM residence.
 
     THREE-level culling, each level finer than the last:
@@ -566,7 +568,11 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
         g0 = (c // _SUPER) * _SUPER
         tile = aabb[pl.ds(pl.multiple_of(g0, _SUPER), _SUPER), :]
         onehot = jnp.where(iota16 == c % _SUPER, 1.0, 0.0)
-        bx = lambda k: jnp.sum(tile[:, k:k + 1] * onehot)
+        # (1, 1) VECTOR reductions rather than scalars: the (1, 1)
+        # result broadcasts over (SB, 128) purely vector-side, skipping
+        # six vector->scalar readouts per visited cluster (measured
+        # neutral on config 6, kept as the cheaper form)
+        bx = lambda k: jnp.sum(tile[:, k:k + 1] * onehot, keepdims=True)
         t1x = (bx(0) - sox) * six
         t2x = (bx(3) - sox) * six
         t1y = (bx(1) - soy) * siy
@@ -694,16 +700,16 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
                     # sub-block's Moller-Trumbore below
                     tile = _tile_transpose(tile)
                 if sub_rows:
-                    tile_scr[...] = tile[:, 0:tile_scr.shape[1]]
                     c = jnp.minimum(lst[0, j], subb.shape[0] // 8 - 1)
                 for s in range(n_sub):
                     @pl.when(((prev_word >> s) & 1) > 0)
                     def _(s=s):
                         if sub_rows:
-                            _mt_gated_sub(tile_scr, subb, c, s, rays,
+                            _mt_gated_sub(tile, subb, c, s, rays,
                                           t_scr, idx_scr, attr_scr, t_sub,
                                           sox, soy, soz, six, siy, siz,
-                                          slive, sub_rows, with_attrs)
+                                          slive, sub_rows, n_boxes,
+                                          with_attrs)
                         else:
                             _mt_update_sub(tile, rays, t_scr, idx_scr,
                                            attr_scr, t_sub, s, with_attrs)
@@ -717,6 +723,49 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
     if with_attrs:
         rows.append(attr_scr[...])
     out[...] = jnp.concatenate(rows, axis=0)
+
+
+def maybe_sub_aabb(clusters):
+    """(sub_aabb, sub_div) to pass to intersect_triangles_bvh, honoring
+    the SRT_BVH_SUBBOX opt-in: "0"/unset = off, "2"/"4"/"8" = that many
+    sub-boxes per cluster ("1" = legacy alias for 8).  The first-cut
+    gating (VMEM staging + dynamic-slice fori_loop) measured SLOWER as a
+    default on the 82K-tri benchmark (47.4 vs 58.8 Mrays/s on v5e,
+    scripts/sweep_config6.py); the static-unroll form is kept opt-in
+    until a sweep shows a division that wins."""
+    import os
+    v = os.environ.get("SRT_BVH_SUBBOX", "0")
+    if v == "0" or clusters.sub_aabb is None:
+        return None, 8
+    div = 8 if v == "1" else int(v)
+    if div not in (2, 4, 8):
+        raise ValueError(f"SRT_BVH_SUBBOX must be 0/1/2/4/8, got {v!r}")
+    return clusters.sub_aabb, div
+
+
+def coarsen_sub_aabb(sub_aabb: jnp.ndarray, div: int) -> jnp.ndarray:
+    """(C*8, 8) sub-box table -> same shape with the 8 slot-range boxes
+    per cluster unioned into `div` wider ones (slots 0..div-1; the rest
+    become far-point sentinels the slab gates cull).  Box j then bounds
+    slot rows [j*K/div, (j+1)*K/div) — the ranges _mt_gated_sub slices.
+    Sentinel-aware union exactly like the super-box construction: empty
+    unions become far-point sentinels, never inverted neutral boxes."""
+    if div == 8:
+        return sub_aabb
+    g = 8 // div
+    t = sub_aabb.reshape(-1, div, g, 8)
+    real = t[:, :, :, 0] < 1.0e37
+    lo = jnp.where(real[..., None], t[:, :, :, 0:3], 3.0e38).min(axis=2)
+    hi = jnp.where(real[..., None], t[:, :, :, 3:6], -3.0e38).max(axis=2)
+    empty = hi[:, :, 0:1] < lo[:, :, 0:1]
+    lo = jnp.where(empty, 3.0e38, lo)
+    hi = jnp.where(empty, 3.0e38, hi)
+    boxes = jnp.concatenate(
+        [lo, hi, jnp.zeros(lo.shape[:2] + (2,), jnp.float32)], axis=-1)
+    pad = jnp.concatenate(
+        [jnp.full(lo.shape[:1] + (8 - div, 6), 3.0e38, jnp.float32),
+         jnp.zeros(lo.shape[:1] + (8 - div, 2), jnp.float32)], axis=-1)
+    return jnp.concatenate([boxes, pad], axis=1).reshape(sub_aabb.shape)
 
 
 # A (slots, 128) f32 table costs 512 B/slot in VMEM;
@@ -740,8 +789,8 @@ PACKED_VMEM_MAX_CLUSTERS = int(
 
 def _kernel_packed(visit, count, order, rays, table_v, rays_sub, aabb,
                    sup, subb, out, t_scr, idx_scr, attr_scr, t_sub,
-                   tile_scr, *, n_clusters, n_table_clusters, with_attrs,
-                   n_sub, two_level, sub_rows):
+                   *, n_clusters, n_table_clusters, with_attrs,
+                   n_sub, two_level, sub_rows, n_boxes):
     """VMEM-resident PACKED-table variant: the full (C, 24, 128) packed
     table rides VMEM for the whole kernel (viewed as (C*24, 128) rows),
     so a visited cluster costs one aligned slice + one exact MXU
@@ -785,7 +834,11 @@ def _kernel_packed(visit, count, order, rays, table_v, rays_sub, aabb,
         g0 = (c // _SUPER) * _SUPER
         tile = aabb[pl.ds(pl.multiple_of(g0, _SUPER), _SUPER), :]
         onehot = jnp.where(iota16 == c % _SUPER, 1.0, 0.0)
-        bx = lambda k: jnp.sum(tile[:, k:k + 1] * onehot)
+        # (1, 1) VECTOR reductions rather than scalars: the (1, 1)
+        # result broadcasts over (SB, 128) purely vector-side, skipping
+        # six vector->scalar readouts per visited cluster (measured
+        # neutral on config 6, kept as the cheaper form)
+        bx = lambda k: jnp.sum(tile[:, k:k + 1] * onehot, keepdims=True)
         t1x = (bx(0) - sox) * six
         t2x = (bx(3) - sox) * six
         t1y = (bx(1) - soy) * siy
@@ -815,23 +868,28 @@ def _kernel_packed(visit, count, order, rays, table_v, rays_sub, aabb,
         def _():
             row0 = pl.multiple_of(c * _TROWS, _TROWS)
             tile = _tile_transpose(table_v[pl.ds(row0, _TROWS), :])
-            if sub_rows:
-                # stage the MT-oriented tile in VMEM scratch so the
-                # sub-box loop can slice (sub_rows, ·) sub-tiles off it
-                tile_scr[...] = tile[:, 0:tile_scr.shape[1]]
             for s in range(n_sub):
                 @pl.when(((word >> s) & 1) > 0)
                 def _(s=s):
                     if sub_rows:
-                        _mt_gated_sub(tile_scr, subb, c, s, rays, t_scr,
+                        _mt_gated_sub(tile, subb, c, s, rays, t_scr,
                                       idx_scr, attr_scr, t_sub, sox, soy,
                                       soz, six, siy, siz, slive, sub_rows,
-                                      with_attrs)
+                                      n_boxes, with_attrs)
                     else:
                         _mt_update_sub(tile, rays, t_scr, idx_scr,
                                        attr_scr, t_sub, s, with_attrs)
 
     def visit_super(s, n):
+        # The (16, BR) child slab looks redundant with _sub_word — per
+        # child it costs the same VECTOR lanes as the _sub_word it gates
+        # — but it batches 16 children behind ONE scalar extraction,
+        # while _sub_word pays ~7 scalar<->vector syncs per cluster
+        # (six one-hot box-coord reductions + the word readout).
+        # Removing this level was MEASURED SLOWER (50.0 vs 62.3 Mrays/s,
+        # config 6 on v5e): the kernel's floor is scalar-sync count per
+        # decision, not vector lanes.  Gates must amortize scalar reads,
+        # never multiply them.
         tile = aabb[pl.ds(s * _SUPER, _SUPER), :]
         word = _slab_word(tile, rox, roy, roz, inx, iny, inz, live, t_scr)
 
@@ -941,7 +999,8 @@ def _sort_rays_by_super(o, d, alive, t_init, super_aabb, order):
 @functools.partial(jax.jit,
                    static_argnames=("block_r", "interpret", "with_attrs",
                                     "hbm_table", "sort_rays",
-                                    "prepass_level", "packed_vmem"))
+                                    "prepass_level", "packed_vmem",
+                                    "sub_div"))
 def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             t_init: jnp.ndarray, aabb: jnp.ndarray,
                             table_t: jnp.ndarray, block_r: int = 1536,
@@ -952,7 +1011,8 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             table_tr: Optional[jnp.ndarray] = None,
                             prepass_level: str = "group",
                             packed_vmem: Optional[bool] = None,
-                            sub_aabb: Optional[jnp.ndarray] = None):
+                            sub_aabb: Optional[jnp.ndarray] = None,
+                            sub_div: int = 8):
     """(R,) rays x clustered triangles -> nearest-hit per ray.
 
     `alive`: (R,) f32 mask — dead rays generate no cluster visits.
@@ -975,10 +1035,13 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     None picks it automatically for tables too big for row-VMEM
     residence but small enough packed; requires table_tr.
     `sub_aabb`: optional (C*8, 8) per-cluster sub-box table
-    (TriangleClustersSoA.sub_aabb).  When given (and K % 64 == 0), the
-    streaming/packed kernels add a fourth culling level: Moller-Trumbore
-    runs per hit (K/8, 128) sub-tile instead of the whole (K, 128) tile
-    — result-identical, ~3x less MT work on incoherent secondary rays.
+    (TriangleClustersSoA.sub_aabb).  When given (and K % (8*sub_div)
+    == 0), the streaming/packed kernels add a fourth culling level:
+    Moller-Trumbore runs per hit (K/sub_div, 128) sub-tile instead of
+    the whole (K, 128) tile — result-identical.  `sub_div` in (2, 4, 8)
+    picks the granularity (8 uses the build's boxes directly; 2/4 union
+    them via coarsen_sub_aabb).  Opt-in via maybe_sub_aabb — the gating
+    measured slower than plain MT as a default on v5e.
     Returns (t_best (R,), idx_best (R,) i32) with idx == -1 and t == +inf
     where no triangle won; with_attrs=True additionally returns the
     winner's (19, R) shading attributes [v0, e1, e2, n0, n1, n2, mat]."""
@@ -1018,7 +1081,7 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                 with_attrs=with_attrs, hbm_table=hbm_table,
                 sort_rays=sort_rays, table_tr=table_tr,
                 prepass_level=prepass_level, packed_vmem=packed_vmem,
-                sub_aabb=sub_aabb))
+                sub_aabb=sub_aabb, sub_div=sub_div))
         return tuple(jnp.concatenate([p[i] for p in parts], axis=-1)
                      for i in range(len(parts[0])))
 
@@ -1143,9 +1206,12 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                          memory_space=pltpu.VMEM),     # super boxes
         ]
         # fourth culling level: per-cluster sub-boxes (see _mt_gated_sub).
-        # sub_rows = 0 disables it (no sub_aabb, or slices not 8-aligned)
-        sub_rows = (block_l // 8 if sub_aabb is not None
-                    and block_l % 64 == 0 else 0)
+        # sub_rows = 0 disables it (no sub_aabb, or slices not 8-aligned:
+        # MT sub-tile row offsets must stay sublane-multiple-of-8)
+        sub_rows = (block_l // sub_div if sub_aabb is not None
+                    and block_l % (8 * sub_div) == 0 else 0)
+        if sub_rows and sub_div != 8:
+            sub_aabb = coarsen_sub_aabb(sub_aabb, sub_div)
         subb_in = (sub_aabb if sub_rows
                    else jnp.zeros((8, 8), jnp.float32))
         common_specs.append(pl.BlockSpec(
@@ -1154,12 +1220,6 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         scratch += [
             pltpu.VMEM((n_sub, _SUB), jnp.float32),    # live t, sub layout
         ]
-        # MT-oriented tile staging scratch for the sub-box loop (packed
-        # tiles transpose to (128, 24); row tiles are (block_l, ·))
-        tile_rows = 128 if (packed_vmem or table_tr is not None) \
-            else block_l
-        tile_scratch = pltpu.VMEM((tile_rows if sub_rows else 8, 24),
-                                  jnp.float32)
         if packed_vmem:
             # whole packed table resident in VMEM, viewed as 2-D rows
             table_op = table_tr.reshape(-1, 128)
@@ -1167,12 +1227,11 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                 _kernel_packed, n_clusters=c_pad,
                 n_table_clusters=table_tr.shape[0],
                 with_attrs=with_attrs, n_sub=n_sub, two_level=two_level,
-                sub_rows=sub_rows)
+                sub_rows=sub_rows, n_boxes=sub_div)
             extra_specs = [
                 pl.BlockSpec((table_op.shape[0], 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ] + common_specs
-            scratch += [tile_scratch]
         else:
             packed = table_tr is not None
             table_op = table_tr if packed else table_t
@@ -1180,7 +1239,7 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                                        n_clusters=c_pad,
                                        with_attrs=with_attrs, n_sub=n_sub,
                                        packed=packed, two_level=two_level,
-                                       sub_rows=sub_rows)
+                                       sub_rows=sub_rows, n_boxes=sub_div)
             extra_specs = [
                 pl.BlockSpec(memory_space=pl.ANY),     # table in HBM
             ] + common_specs
@@ -1190,7 +1249,6 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                            else (2, block_l, table_t.shape[1]),
                            jnp.float32),                  # double buffer
                 pltpu.SemaphoreType.DMA((2,)),
-                tile_scratch,
             ]
         extra_in.append(subb_in)
     else:

@@ -149,15 +149,17 @@ class TriangleClustersSoA(NamedTuple):
     transposes the tile back on-chip).  None when K > 128 (no packed
     form — the kernel falls back to row-tile streaming).
 
-    sub_aabb is a third, finer culling level INSIDE each cluster: 8
+    sub_aabb is an OPT-IN finer culling level INSIDE each cluster: 8
     equal slot-range sub-boxes of K/8 triangles each (slot ranges are
-    contiguous BVH-DFS subtrees, so they stay spatially tight).  The
+    contiguous BVH-DFS subtrees, so they stay spatially tight).  When
+    enabled (bvh_kernel.maybe_sub_aabb / SRT_BVH_SUBBOX) the
     streaming/packed kernels slab them per gated 128-ray sub-block and
-    run Moller-Trumbore only on hit (K/8, 128) sub-tiles — the MT work
-    itself was the measured bounce-2 bottleneck (51 of 58 ms at 82K
-    triangles), and most of a visited cluster's K triangles are provably
-    unreachable for any given 128 rays.  Empty ranges (padding slots)
-    are far-point sentinels culled by the slab gates' near >= 1e38 term.
+    run Moller-Trumbore only on hit (K/div, 128) sub-tiles.  Disabled
+    by default: on v5e at 82K triangles every division measured SLOWER
+    than plain per-sub-block MT (48-51 vs 62.3 Mrays/s) — the
+    incoherent-bounce cost floor is per-(block, cluster) slab work,
+    which the extra gate adds to.  Empty ranges (padding slots) are
+    far-point sentinels culled by the slab gates' near >= 1e38 term.
     None when K isn't a multiple of 8 (no aligned sub-tiles)."""
     aabb: jnp.ndarray      # (C, 8) f32: [min.xyz, max.xyz, pad, pad]
     table_t: jnp.ndarray   # (C*K, 128) f32

@@ -61,6 +61,17 @@ def _fused_ok(scene: DeviceScene, tri_backend: str,
         return capable
     if tri_backend != "auto" or jax.default_backend() != "tpu":
         return False
+    if capable and scene.triangles.clusters is not None:
+        # Large BVH meshes (the only scenes that reach trace_rays under
+        # "auto" on TPU — everything smaller took the megakernel in
+        # render_pass): the XLA scan body measured FASTER than the fused
+        # per-bounce Pallas bounce kernel at this scale (62.3 vs 56.5
+        # Mrays/s on config 6, scripts/sweep_config6.py on v5e), so
+        # route them to the scan path; "fused" above still forces this
+        # form for tests and sweeps.
+        from .pallas.bvh_kernel import VMEM_TABLE_MAX_SLOTS
+        if scene.triangles.clusters.table_t.shape[0] > VMEM_TABLE_MAX_SLOTS:
+            return False
     return capable
 
 
@@ -97,11 +108,13 @@ def trace_rays_fused(scene: DeviceScene, o: Vec3, d: Vec3,
             if scene.planes.material.shape[0]:
                 t_p, _ = intersect_planes(ro, rd, scene.planes)
                 t_seed = jnp.minimum(t_seed, t_p)
-            from .pallas.bvh_kernel import intersect_triangles_bvh
+            from .pallas.bvh_kernel import (intersect_triangles_bvh,
+                                            maybe_sub_aabb)
+            sub, sdiv = maybe_sub_aabb(cl)
             t_t, _, attrs = intersect_triangles_bvh(
                 ro, rd, state[7], t_seed, cl.aabb, cl.table_t,
                 block_r=bvh_block_r, with_attrs=True, interpret=interpret,
-                table_tr=cl.table_tr, sub_aabb=cl.sub_aabb)
+                table_tr=cl.table_tr, sub_aabb=sub, sub_div=sdiv)
             tri_rows = jnp.concatenate([t_t[None], attrs], axis=0)
         state = bounce_step(state, is_last, sph_tab, pln_tab, mat_tab,
                             tri_rows=tri_rows, block_r=block_r,

@@ -515,9 +515,10 @@ def test_nan_ray_is_conservative_and_in_bounds():
                                    rtol=1e-5, err_msg=str(kw))
 
 
+@pytest.mark.parametrize("sub_div", [2, 4, 8])
 @pytest.mark.parametrize("variant", ["packed_vmem", "hbm_packed",
                                      "hbm_rows"])
-def test_subbox_gating_is_bit_identical(variant):
+def test_subbox_gating_is_bit_identical(variant, sub_div):
     """The fourth culling level (per-cluster sub-boxes gating MT to
     (K/8, 128) sub-tiles — TriangleClustersSoA.sub_aabb) is a pure
     skip-provably-unreachable-work optimization: every kernel variant
@@ -543,7 +544,8 @@ def test_subbox_gating_is_bit_identical(variant):
     base = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
                                    cl.table_t, **kw)
     got = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
-                                  cl.table_t, sub_aabb=cl.sub_aabb, **kw)
+                                  cl.table_t, sub_aabb=cl.sub_aabb,
+                                  sub_div=sub_div, **kw)
     live = np.asarray(alive) > 0
     for x, y in zip(base, got):
         np.testing.assert_array_equal(np.asarray(x)[..., live],
