@@ -27,6 +27,9 @@ def run(label, k, backend, strip_packed=False, prepass="super",
     import simple_raytracer_tpu.ops.pallas.bounce_kernel as bok
     bok.MEGA_MT_SLICES = mt_slices
     os.environ["SRT_BVH_SUBBOX"] = subbox
+    # the kernel fn is itself jitted and reads env knobs at ITS trace
+    # time; drop its cached traces so per-row knobs actually apply
+    bk.intersect_triangles_bvh.clear_cache()
     scene, camera, _ = CONFIGS[6]()
     scene.cluster_size = k
     orig = bk.intersect_triangles_bvh
@@ -55,8 +58,13 @@ if __name__ == "__main__":
     # "fused" forces the megakernel at this scale (auto now routes 82K
     # tris to the measured-faster split path)
     run("split K=128 2lv", None, "bvh", prepass="group")
-    run("split 2lv b1024", None, "bvh", prepass="group", block_r=1024)
-    run("split 2lv b768", None, "bvh", prepass="group", block_r=768)
-    run("split 2lv b512", None, "bvh", prepass="group", block_r=512)
-    run("split 2lv b256", None, "bvh", prepass="group", block_r=256)
-    run("auto (routed)", None, "auto")
+    os.environ["SRT_BVH_NO_MT"] = "1"
+    run("NO_MT (floor)", None, "bvh", prepass="group")
+    os.environ["SRT_BVH_NO_SUBWORD"] = "1"
+    run("NO_MT NO_SUBW", None, "bvh", prepass="group")
+    del os.environ["SRT_BVH_NO_MT"]
+    run("NO_SUBWORD", None, "bvh", prepass="group")
+    del os.environ["SRT_BVH_NO_SUBWORD"]
+    os.environ["SRT_BVH_ORDER"] = "rev"
+    run("REV order", None, "bvh", prepass="group")
+    del os.environ["SRT_BVH_ORDER"]

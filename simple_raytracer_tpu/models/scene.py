@@ -366,16 +366,23 @@ class Scene:
             table_t[:, 18] = mat[si].reshape(-1).astype(np.float32)
             table_t[:, 19] = valid.reshape(-1).astype(np.float32)
             table_t[:, 20] = si.reshape(-1).astype(np.float32)
-            # packed transposed copy for the HBM streaming kernel: one
-            # (24, 128) tile per cluster, attributes on sublanes and the
-            # K triangles on lanes — 96 B/triangle per DMA instead of the
-            # row layout's 512 (bvh_kernel._TROWS documents the win)
+            # packed transposed copy for the HBM streaming kernel:
+            # ceil(K/128) PACKETS of (24, 128) per cluster, attributes
+            # on sublanes and 128 triangles on lanes per packet —
+            # 96 B/triangle per DMA instead of the row layout's 512
+            # (bvh_kernel._TROWS documents the win).  K > 128 needs
+            # K % 128 == 0 so every packet's lanes map to a full slot
+            # range (padding slots are active=0 rows, harmless)
             table_tr = None
-            if k <= 128:
-                table_tr = np.zeros((c, 24, 128), np.float32)
-                table_tr[:, :21, :k] = (
-                    table_t.reshape(c, k, 128)[:, :, :21]
-                    .transpose(0, 2, 1))
+            if k <= 128 or k % 128 == 0:
+                p_n = (k + 127) // 128
+                table_tr = np.zeros((c, p_n * 24, 128), np.float32)
+                tt = table_t.reshape(c, k, 128)
+                for p in range(p_n):
+                    w = min(128, k - p * 128)
+                    table_tr[:, p * 24:p * 24 + 21, :w] = (
+                        tt[:, p * 128:p * 128 + w, :21]
+                        .transpose(0, 2, 1))
                 table_tr = jnp.asarray(table_tr)
             # 8 equal slot-range sub-boxes per cluster (K/8 triangles
             # each — contiguous BVH-DFS subtree ranges, so spatially

@@ -892,7 +892,10 @@ def trace_full_fused(scene, rot, position, aspect_ratio, fov_scale,
         # big tables ride VMEM in the packed transposed form (96 B/tri);
         # small ones stay in the row layout (no per-visit transpose)
         tri_packed = (cl.table_t.shape[0] > VMEM_TABLE_MAX_SLOTS
-                      and cl.table_tr is not None)
+                      and cl.table_tr is not None
+                      # this kernel reads one (24, 128) tile per cluster;
+                      # multi-packet (K > 128) tables are split-path only
+                      and cl.table_tr.shape[1] == _TROWS)
         if tri_packed:
             cl_table_op = cl.table_tr.reshape(-1, 128)
             block_l = _TROWS

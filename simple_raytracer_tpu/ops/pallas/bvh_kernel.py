@@ -339,6 +339,15 @@ _TROWS = 24     # rows per cluster in the PACKED transposed table: 21
 _SUB = 128      # rays per MT sub-block (one lane group — the finest
                 # granularity static lane slicing allows)
 
+def _prof_knob(name: str) -> bool:
+    """Profiling knobs (WRONG RESULTS when set — never in product
+    paths): SRT_BVH_NO_MT=1 skips every Moller-Trumbore commit (times
+    the pure traversal+slab floor); SRT_BVH_NO_SUBWORD=1 forces every
+    sub-block of a slab-hit cluster through MT (times MT with the
+    per-128-ray gate off).  Read at trace time (sweep_config6 A/Bs)."""
+    import os
+    return os.environ.get(name) == "1"
+
 _GROUP = 16     # superclusters per top-level GROUP when the prepass runs
                 # two-level (prepass_level="group"): the dense XLA slab
                 # then costs (S/16, R) instead of (S, R) — ~15x less of
@@ -497,7 +506,7 @@ def _tile_transpose(tile):
 def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
                 sup, subb, out, t_scr, idx_scr, attr_scr, t_sub, lst, buf,
                 sems, *, block_l, n_clusters, with_attrs, n_sub,
-                packed, two_level, sub_rows, n_boxes):
+                packed, two_level, sub_rows, n_boxes, packets):
     """HBM-table variant for meshes too large for VMEM residence.
 
     THREE-level culling, each level finer than the last:
@@ -692,27 +701,33 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
             @pl.when(prev_word != 0)
             def _():
                 dma(j, j % 2).wait()
-                tile = buf[j % 2]
+                raw = buf[j % 2]
                 if packed:
                     # back to the MT orientation (K tris on sublanes,
                     # attribute columns 0-20) — one MXU transpose per
-                    # visited cluster, amortized over every gated
-                    # sub-block's Moller-Trumbore below
-                    tile = _tile_transpose(tile)
+                    # packet per visited cluster, amortized over every
+                    # gated sub-block's Moller-Trumbore below
+                    tiles = [_tile_transpose(
+                        raw[p * _TROWS:(p + 1) * _TROWS])
+                        for p in range(packets)]
+                else:
+                    tiles = [raw]
                 if sub_rows:
                     c = jnp.minimum(lst[0, j], subb.shape[0] // 8 - 1)
                 for s in range(n_sub):
                     @pl.when(((prev_word >> s) & 1) > 0)
                     def _(s=s):
-                        if sub_rows:
-                            _mt_gated_sub(tile, subb, c, s, rays,
-                                          t_scr, idx_scr, attr_scr, t_sub,
-                                          sox, soy, soz, six, siy, siz,
-                                          slive, sub_rows, n_boxes,
-                                          with_attrs)
-                        else:
-                            _mt_update_sub(tile, rays, t_scr, idx_scr,
-                                           attr_scr, t_sub, s, with_attrs)
+                        for tile in tiles:
+                            if sub_rows:
+                                _mt_gated_sub(tile, subb, c, s, rays,
+                                              t_scr, idx_scr, attr_scr,
+                                              t_sub, sox, soy, soz, six,
+                                              siy, siz, slive, sub_rows,
+                                              n_boxes, with_attrs)
+                            else:
+                                _mt_update_sub(tile, rays, t_scr, idx_scr,
+                                               attr_scr, t_sub, s,
+                                               with_attrs)
             return next_word
 
         jax.lax.fori_loop(0, n, process, word0)
@@ -790,7 +805,7 @@ PACKED_VMEM_MAX_CLUSTERS = int(
 def _kernel_packed(visit, count, order, rays, table_v, rays_sub, aabb,
                    sup, subb, out, t_scr, idx_scr, attr_scr, t_sub,
                    *, n_clusters, n_table_clusters, with_attrs,
-                   n_sub, two_level, sub_rows, n_boxes):
+                   n_sub, two_level, sub_rows, n_boxes, packets):
     """VMEM-resident PACKED-table variant: the full (C, 24, 128) packed
     table rides VMEM for the whole kernel (viewed as (C*24, 128) rows),
     so a visited cluster costs one aligned slice + one exact MXU
@@ -862,23 +877,39 @@ def _kernel_packed(visit, count, order, rays, table_v, rays_sub, aabb,
         ids that have no table tile; the duplicate visit of a real tile
         is idempotent under the running-min commit."""
         c = jnp.minimum(c, n_table_clusters - 1)
-        word = _sub_word(c)
+        word = (jnp.int32((1 << n_sub) - 1) if _prof_knob("SRT_BVH_NO_SUBWORD")
+                else _sub_word(c))
+        if _prof_knob("SRT_BVH_NO_MT"):
+            # keep `word` observable so the sub-word slab isn't DCE'd;
+            # idx -1 commits are no-ops under the decode contract
+            @pl.when(word > (1 << n_sub))
+            def _():
+                idx_scr[0:1, 0:_SUB] = jnp.full((1, _SUB), -1, jnp.int32)
+            return
 
         @pl.when(word != 0)
         def _():
-            row0 = pl.multiple_of(c * _TROWS, _TROWS)
-            tile = _tile_transpose(table_v[pl.ds(row0, _TROWS), :])
+            # K > 128 clusters span `packets` (24, 128) tiles — each
+            # transposed once per visited cluster, MT'd per hit
+            # sub-block (a padding packet's active column is all zero,
+            # so extra lanes never commit)
+            crow = _TROWS * packets
+            row0 = pl.multiple_of(c * crow, crow)
+            tiles = [_tile_transpose(
+                table_v[pl.ds(row0 + p * _TROWS, _TROWS), :])
+                for p in range(packets)]
             for s in range(n_sub):
                 @pl.when(((word >> s) & 1) > 0)
                 def _(s=s):
-                    if sub_rows:
-                        _mt_gated_sub(tile, subb, c, s, rays, t_scr,
-                                      idx_scr, attr_scr, t_sub, sox, soy,
-                                      soz, six, siy, siz, slive, sub_rows,
-                                      n_boxes, with_attrs)
-                    else:
-                        _mt_update_sub(tile, rays, t_scr, idx_scr,
-                                       attr_scr, t_sub, s, with_attrs)
+                    for tile in tiles:
+                        if sub_rows:
+                            _mt_gated_sub(tile, subb, c, s, rays, t_scr,
+                                          idx_scr, attr_scr, t_sub, sox,
+                                          soy, soz, six, siy, siz, slive,
+                                          sub_rows, n_boxes, with_attrs)
+                        else:
+                            _mt_update_sub(tile, rays, t_scr, idx_scr,
+                                           attr_scr, t_sub, s, with_attrs)
 
     def visit_super(s, n):
         # The (16, BR) child slab looks redundant with _sub_word — per
@@ -1049,11 +1080,16 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     n_clusters = aabb.shape[0]
     block_l = table_t.shape[0] // max(n_clusters, 1)
     n_out = 2 + (_N_ATTRS if with_attrs else 0)
+    # packets = ceil(K/128) (24, 128) tiles per cluster in table_tr;
+    # the VMEM-residence budget counts TILES, not clusters, so a K=256
+    # table competes for the same 9.6 MB as a K=128 one
+    packets = (table_tr.shape[1] // _TROWS) if table_tr is not None else 1
     if packed_vmem is None:
         packed_vmem = (hbm_table is not True
                        and table_t.shape[0] > VMEM_TABLE_MAX_SLOTS
                        and table_tr is not None
-                       and table_tr.shape[0] <= PACKED_VMEM_MAX_CLUSTERS)
+                       and table_tr.shape[0] * packets
+                       <= PACKED_VMEM_MAX_CLUSTERS)
     if packed_vmem:
         if table_tr is None:
             raise ValueError("packed_vmem=True requires table_tr")
@@ -1096,6 +1132,11 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                             jnp.sum(o.z * w)]) / wsum
         centers = (boxes8[:, 0:3] + boxes8[:, 3:6]) * 0.5
         d2 = jnp.sum((centers - origin[None, :]) ** 2, axis=1)
+        import os
+        if os.environ.get("SRT_BVH_ORDER") == "rev":
+            # debug knob: WORST-case order, to measure how much the
+            # live-t ordering actually buys (sweep_config6 A/B)
+            d2 = -d2
         return jnp.argsort(d2).astype(jnp.int32)
 
     two_level = (hbm_table or packed_vmem) and prepass_level == "group"
@@ -1206,10 +1247,12 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                          memory_space=pltpu.VMEM),     # super boxes
         ]
         # fourth culling level: per-cluster sub-boxes (see _mt_gated_sub).
-        # sub_rows = 0 disables it (no sub_aabb, or slices not 8-aligned:
-        # MT sub-tile row offsets must stay sublane-multiple-of-8)
+        # sub_rows = 0 disables it (no sub_aabb; slices not 8-aligned —
+        # MT sub-tile row offsets must stay sublane-multiple-of-8; or a
+        # multi-packet table, whose sub-ranges would span packet tiles)
         sub_rows = (block_l // sub_div if sub_aabb is not None
-                    and block_l % (8 * sub_div) == 0 else 0)
+                    and block_l % (8 * sub_div) == 0
+                    and packets == 1 else 0)
         if sub_rows and sub_div != 8:
             sub_aabb = coarsen_sub_aabb(sub_aabb, sub_div)
         subb_in = (sub_aabb if sub_rows
@@ -1227,7 +1270,7 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                 _kernel_packed, n_clusters=c_pad,
                 n_table_clusters=table_tr.shape[0],
                 with_attrs=with_attrs, n_sub=n_sub, two_level=two_level,
-                sub_rows=sub_rows, n_boxes=sub_div)
+                sub_rows=sub_rows, n_boxes=sub_div, packets=packets)
             extra_specs = [
                 pl.BlockSpec((table_op.shape[0], 128), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -1239,13 +1282,14 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
                                        n_clusters=c_pad,
                                        with_attrs=with_attrs, n_sub=n_sub,
                                        packed=packed, two_level=two_level,
-                                       sub_rows=sub_rows, n_boxes=sub_div)
+                                       sub_rows=sub_rows, n_boxes=sub_div,
+                                       packets=packets)
             extra_specs = [
                 pl.BlockSpec(memory_space=pl.ANY),     # table in HBM
             ] + common_specs
             scratch += [
                 pltpu.SMEM((1, c_pad), jnp.int32),        # visit list
-                pltpu.VMEM((2, _TROWS, 128) if packed
+                pltpu.VMEM((2, _TROWS * packets, 128) if packed
                            else (2, block_l, table_t.shape[1]),
                            jnp.float32),                  # double buffer
                 pltpu.SemaphoreType.DMA((2,)),

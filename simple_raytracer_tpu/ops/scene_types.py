@@ -143,11 +143,12 @@ class TriangleClustersSoA(NamedTuple):
     and DMA-streams visited row tiles from HBM otherwise.
 
     table_tr is the PACKED transposed copy for the HBM streaming path:
-    one (24, 128) tile per cluster with the same 21 attributes on
-    SUBLANES and the cluster's K<=128 triangles on LANES, so a per-visit
-    DMA moves 96 B/triangle instead of the row layout's 512 (the kernel
-    transposes the tile back on-chip).  None when K > 128 (no packed
-    form — the kernel falls back to row-tile streaming).
+    ceil(K/128) PACKETS of (24, 128) per cluster — (C, P*24, 128) — with
+    the same 21 attributes on SUBLANES and 128 triangles on LANES per
+    packet, so a per-visit DMA moves 96 B/triangle instead of the row
+    layout's 512 (the kernel transposes each packet back on-chip).
+    None when K > 128 isn't a multiple of 128 (no packed form — the
+    kernel falls back to row-tile streaming).
 
     sub_aabb is an OPT-IN finer culling level INSIDE each cluster: 8
     equal slot-range sub-boxes of K/8 triangles each (slot ranges are

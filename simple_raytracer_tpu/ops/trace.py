@@ -234,6 +234,7 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
         # reachable for tests and regression sweeps.
         mega_tris = mega_tris or (
             cl is not None and cl.table_tr is not None
+            and cl.table_tr.shape[1] == 24   # single-packet (K<=128) only
             and cl.table_tr.shape[0] <= MEGA_PACKED_MAX_CLUSTERS)
     use_mega = (not show_normals and mega_tris
                 and tri_backend in ("auto", "fused")

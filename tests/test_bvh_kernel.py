@@ -14,11 +14,11 @@ from simple_raytracer_tpu.ops.pallas.bvh_kernel import (
 from simple_raytracer_tpu.ops.vec import Vec3
 
 
-def _mesh_scene():
+def _mesh_scene(cluster_size=128):
     pos, nrm = icosphere(subdivisions=2)  # 320 tris
     sc = Scene()
     sc.cluster_threshold = 64
-    sc.cluster_size = 128
+    sc.cluster_size = cluster_size
     span = sc.pool.append(pos, nrm)
     sc.add_model(span)
     return sc.build()
@@ -48,6 +48,35 @@ def test_bvh_matches_dense():
     np.testing.assert_array_equal(hit, np.asarray(i_k) >= 0)
     # CPU interpret mode and the dense XLA path contract FMAs differently
     # (1-ulp t differences); compiled on TPU the two are bit-exact
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_k)[hit],
+                                  np.asarray(i_ref)[hit])
+
+
+@pytest.mark.parametrize("variant", ["packed_vmem", "hbm_packed"])
+def test_bvh_k256_two_packet_table_matches_dense(variant):
+    """K=256 clusters pack as TWO (24, 128) packets per cluster
+    (TriangleClustersSoA.table_tr is (C, 48, 128)); both packed kernel
+    forms must agree with the dense reference, winner indices included.
+    Guards the multi-packet transpose/MT loop in _kernel_packed /
+    _kernel_hbm and the packet-aware VMEM budget."""
+    ds = _mesh_scene(cluster_size=256)
+    cl = ds.triangles.clusters
+    assert cl.table_tr is not None and cl.table_tr.shape[1] == 48
+    o, d = _rays(700)
+    t_ref, i_ref = intersect_triangles(o, d, ds.triangles, chunk=4096)
+    alive = jnp.ones_like(o.x)
+    t_init = jnp.full_like(o.x, jnp.inf)
+    kw = dict(block_r=128, interpret=True, table_tr=cl.table_tr)
+    if variant == "packed_vmem":
+        kw["packed_vmem"] = True
+    else:
+        kw["hbm_table"] = True
+    t_k, i_k = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                       cl.table_t, **kw)
+    t_ref, t_k = np.asarray(t_ref), np.asarray(t_k)
+    hit = np.isfinite(t_ref)
+    np.testing.assert_array_equal(hit, np.asarray(i_k) >= 0)
     np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_k)[hit],
                                   np.asarray(i_ref)[hit])
