@@ -23,9 +23,11 @@ sys.path.insert(0, "/root/repo/tests")
 import numpy as np
 
 
-def rmse(a, b):
-    return float(np.sqrt(np.mean((np.asarray(a, np.float64)
-                                  - np.asarray(b, np.float64)) ** 2)))
+def rmse(a, b, mask=None):
+    d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+    if mask is not None:
+        d = d[mask]
+    return float(np.sqrt(np.mean(d ** 2)))
 
 
 def run_scene(name, builder, width, height, steps, samples=2, bounces=10):
@@ -54,12 +56,24 @@ def run_scene(name, builder, width, height, steps, samples=2, bounces=10):
     orc_mean = acc / steps
     orc_img = np.asarray(tonemap_u8(np.float32(acc), steps), np.float64)
 
-    lin = rmse(dev_mean, orc_mean)
+    # The reference's RNG can emit u == 0 and its Box-Muller then takes
+    # log(0) (render.cl:143-150): a handful of paths per megapixel carry
+    # non-finite radiance — in the reference, in this renderer, and in
+    # the oracle, at the SAME pixels when the masks agree (the RNG
+    # stream is shared).  Report the masks and their agreement, and
+    # compute the linear RMSE over mutually-finite pixels.
+    dev_bad = ~np.isfinite(dev_mean).all(axis=-1)
+    orc_bad = ~np.isfinite(orc_mean).all(axis=-1)
+    finite = ~(dev_bad | orc_bad)
+    lin = rmse(dev_mean, orc_mean, mask=finite)
     ton = rmse(dev_img, orc_img)
     frac = float(np.mean(np.any(np.abs(dev_img - orc_img) > 1, axis=-1)))
     return {"scene": name, "res": f"{width}x{height}",
             "steps": steps, "rmse_linear": lin, "rmse_u8": ton,
-            "pixels_off_by_gt1": frac}
+            "pixels_off_by_gt1": frac,
+            "nonfinite_dev": int(dev_bad.sum()),
+            "nonfinite_oracle": int(orc_bad.sum()),
+            "nonfinite_masks_equal": bool((dev_bad == orc_bad).all())}
 
 
 def main():

@@ -85,7 +85,17 @@ def next_normal(seed: jnp.ndarray):
     (render.cl:150-154): theta = 2pi*u1; rho = sqrt(-2 ln u2); rho*cos(theta).
     Consumes exactly 2 uniforms.  cos evaluates in turns (cos_2pi) —
     distribution-identical to the reference's cos(2*M_PI_F*u1) and ~30x
-    cheaper on TPU."""
+    cheaper on TPU.
+
+    DELIBERATELY reproduced hazard: the hash can emit u2 == 0 exactly
+    (1-in-2^32 per draw), and ln(0) = -inf makes rho infinite — the
+    reference has the identical behavior, so a ~megapixel render grows
+    a handful of non-finite pixels as steps accumulate (measured: 6 of
+    518400 at 960x540 after 200 steps).  The oracle shares the RNG
+    stream, so the same pixels blow up on both sides;
+    scripts/parity_rmse.py reports each side's non-finite mask and
+    their agreement, and computes linear RMSE over mutually-finite
+    pixels.  "Fixing" this here would break RNG stream parity."""
     seed, u1 = next_uniform(seed)
     seed, u2 = next_uniform(seed)
     rho = jnp.sqrt(jnp.float32(-2.0) * jnp.log(u2))
