@@ -31,6 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="progressive accumulation steps")
     p.add_argument("--show-normals", action="store_true",
                    help="normals debug render (render.cl:407-410 analog)")
+    p.add_argument("--aov", choices=["normals", "depth", "albedo"],
+                   default=None,
+                   help="first-hit AOV render target instead of the "
+                        "path-traced image (depth = 1/(1+t) grayscale, "
+                        "albedo = hit material color)")
     p.add_argument("--mesh-path", default=None,
                    help="STL/OBJ file for mesh configs (4/5)")
     p.add_argument("--skybox", default=None, help="equirect skybox image file")
@@ -124,6 +129,7 @@ def main(argv=None) -> int:
         num_samples=args.samples or options.num_samples,
         num_bounces=args.bounces or options.num_bounces,
         show_normals=args.show_normals,
+        aov=args.aov,
         tri_backend=args.tri_backend,
         all_devices=args.all_devices,
     )

@@ -37,6 +37,13 @@ class RenderOptions:
     num_samples: int = 2
     num_bounces: int = 10
     show_normals: bool = False
+    # First-hit AOV render target: None = beauty (the path-traced
+    # image), "normals" (same as show_normals=True — the reference's
+    # only debug view, interface.cpp:374), "depth" (1/(1+t) grayscale,
+    # miss = 0), "albedo" (hit material color).  All single-segment,
+    # accumulated and tonemapped through the normal pipeline exactly
+    # like the reference tonemaps its normals view (render.cl:525-535).
+    aov: object = None
     tri_chunk: int = 256
     tri_backend: str = "auto"  # "auto"|"jnp"|"pallas"|"bvh"|"clustered"
     # screen-tile ray ordering (th, tw) for packet-coherent ray blocks;
@@ -67,6 +74,11 @@ class Renderer:
     def __init__(self, options: RenderOptions = RenderOptions(),
                  scene: Optional[Scene] = None):
         self.options = options
+        if options.aov not in (None, "normals", "depth", "albedo"):
+            raise ValueError(f"unknown aov {options.aov!r} "
+                             "(None | 'normals' | 'depth' | 'albedo')")
+        # both toggles funnel into the trace path's single mode selector
+        self._aov_mode = options.aov or options.show_normals
         self._mesh = None
         self._canvas_sharding = None
         self._tile = None   # non-None: internal canvas is in tile order
@@ -90,7 +102,7 @@ class Renderer:
                 make_sharded_render_step(
                     options.width, options.height, options.num_samples,
                     options.num_bounces, mesh=mesh,
-                    show_normals=options.show_normals,
+                    show_normals=self._aov_mode,
                     tri_chunk=options.tri_chunk,
                     tri_backend=options.tri_backend, ray_tile=ray_tile,
                     canvas_tiled=ray_tile is not None)
@@ -103,7 +115,7 @@ class Renderer:
             self._tile = ray_tile
             self._step_fn = make_render_step(
                 options.width, options.height, options.num_samples,
-                options.num_bounces, show_normals=options.show_normals,
+                options.num_bounces, show_normals=self._aov_mode,
                 tri_chunk=options.tri_chunk,
                 tri_backend=options.tri_backend, ray_tile=ray_tile,
                 canvas_tiled=ray_tile is not None,
@@ -242,7 +254,7 @@ class Renderer:
         ray_tile = _resolve_ray_tile(o.ray_tile, o.height, o.width)
         from .ops.trace import make_render_step
         fn = make_render_step(o.width, o.height, o.num_samples,
-                              o.num_bounces, show_normals=o.show_normals,
+                              o.num_bounces, show_normals=self._aov_mode,
                               tri_chunk=o.tri_chunk,
                               tri_backend=o.tri_backend, ray_tile=ray_tile,
                               jit=False, canvas_tiled=ray_tile is not None)

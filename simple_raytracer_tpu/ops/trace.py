@@ -166,7 +166,26 @@ def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
         sky_dir = vwhere(m_alive, d, sky_dir)
 
         if show_normals:
-            color = vwhere(h_alive, hit.normal * 0.5 + 0.5, color)
+            # First-hit AOV modes, all single-segment like the
+            # reference's show-normals toggle (render.cl:407-410):
+            # True/"normals" = n*0.5+0.5 (misses show sky, exactly the
+            # reference's fallthrough); "depth" = 1/(1+t) grayscale
+            # (miss -> t=inf -> exactly 0, sky suppressed); "albedo" =
+            # the hit material's color (misses show sky, the surface-
+            # less analog).
+            mode = "normals" if show_normals is True else show_normals
+            if mode == "normals":
+                val = hit.normal * 0.5 + 0.5
+            elif mode == "depth":
+                g = 1.0 / (1.0 + hit.t)
+                val = Vec3(g, g, g)
+                z = jnp.zeros_like(o.x)
+                sky_mask = vwhere(m_alive, Vec3(z, z, z), sky_mask)
+            elif mode == "albedo":
+                val = gather_materials(scene.materials, hit.material).color
+            else:
+                raise ValueError(f"unknown AOV mode {show_normals!r}")
+            color = vwhere(h_alive, val, color)
             dead = alive & jnp.zeros_like(alive)
             return (o, d, color, mask, seed, dead, sky_mask, sky_dir), None
 
