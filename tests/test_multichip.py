@@ -94,6 +94,25 @@ def test_renderer_all_devices_height_check(devices):
         Renderer(RenderOptions(width=64, height=50, all_devices=True))
 
 
+def test_sharded_aov_matches_single_chip(devices):
+    """AOV modes thread through the sharded step (the same mode selector
+    make_sharded_render_step receives): sharded depth == single-device
+    depth, bit for bit."""
+    scene, camera, _ = config2_four_spheres(width=64, height=48)
+    r1 = Renderer(RenderOptions(width=64, height=48, num_samples=2,
+                                num_bounces=4, aov="depth"), scene=scene)
+    r1.step(camera, time=3)
+    r8 = Renderer(RenderOptions(width=64, height=48, num_samples=2,
+                                num_bounces=4, aov="depth",
+                                all_devices=True), scene=scene)
+    assert r8.num_devices == len(devices)
+    r8.step(camera, time=3)
+    np.testing.assert_array_equal(np.asarray(r8.canvas),
+                                  np.asarray(r1.canvas))
+    # sky rows are exactly 0 in the depth AOV, across shard boundaries
+    assert float(np.asarray(r8.canvas)[0].max()) == 0.0
+
+
 def test_sharded_bvh_backend_matches_single_chip(devices):
     """The packet-culling kernel path composes with shard_map: force the
     bvh backend (interpret mode on CPU) inside the sharded step and
