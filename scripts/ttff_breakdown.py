@@ -55,7 +55,14 @@ def main():
     t4 = time.perf_counter()
     print(f"compile_s {t4 - t3:.2f}  (cache hit when warm)", flush=True)
 
-    r.step(camera, time=1)
+    # step through the AOT-compiled executable: r.step() would dispatch
+    # through the jit cache, which the AOT trace/lower/compile above did
+    # NOT populate, so it would re-lower and re-compile (hitting the
+    # persistent cache) and double-count those stages in this stage.
+    import jax
+    canvas = jax.block_until_ready(compiled(*args))
+    r._canvas = canvas
+    r.num_steps = 1
     img = r.image()
     t5 = time.perf_counter()
     print(f"step_and_image_s {t5 - t4:.2f}", flush=True)

@@ -11,6 +11,7 @@ add/remove (the moral equivalent of grow-only realloc, tracer.cpp:5-9).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Tuple
 
 import jax.numpy as jnp
@@ -393,9 +394,13 @@ class Scene:
             # become far-point sentinels the slab gates cull
             # (near >= 1e38, see bvh_kernel._visit_prepass).
             # K % 64 keeps every (K/8)-row sub-tile slice 8-sublane
-            # aligned (Mosaic's dynamic sublane-slice requirement)
+            # aligned (Mosaic's dynamic sublane-slice requirement).
+            # Only BUILT under the same knob that enables consumption —
+            # default builds skip the O(T) host reductions + upload so
+            # interactive refits (gizmo drags) never pay for an
+            # experiment that is off
             sub_aabb = None
-            if k % 64 == 0:
+            if k % 64 == 0 and os.environ.get("SRT_BVH_SUBBOX", "0") != "0":
                 vx = pos[si].reshape(c, 8, (k // 8) * 3, 3)
                 mask = valid.reshape(c, 8, k // 8, 1)
                 big = np.float32(3.0e38)

@@ -242,8 +242,7 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
     tri_attrs = None
     if not has_tris:
         t_t, i_t = inf, zero_i
-    elif (tri_backend in ("bvh", "clustered")
-          or (tri_backend == "auto" and jax.default_backend() == "tpu")) \
+    elif tri_backend in ("bvh", "clustered") \
             and scene.triangles.clusters is not None:
         from .pallas.bvh_kernel import intersect_triangles_bvh
         alive_f = (jnp.ones_like(o.x) if alive is None

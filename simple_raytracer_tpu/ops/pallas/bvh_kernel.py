@@ -752,34 +752,44 @@ def maybe_sub_aabb(clusters):
     v = os.environ.get("SRT_BVH_SUBBOX", "0")
     if v == "0" or clusters.sub_aabb is None:
         return None, 8
-    div = 8 if v == "1" else int(v)
-    if div not in (2, 4, 8):
+    if v not in ("1", "2", "4", "8"):
         raise ValueError(f"SRT_BVH_SUBBOX must be 0/1/2/4/8, got {v!r}")
+    div = 8 if v == "1" else int(v)
     return clusters.sub_aabb, div
+
+
+def _union_boxes8(stack: jnp.ndarray) -> jnp.ndarray:
+    """Sentinel-aware AABB union over axis -2 of a (..., G, 8) box stack.
+
+    The SINGLE implementation of the convention every culling level
+    shares: members with lo >= 1e37 are padding sentinels and must not
+    contribute (a sentinel hi of 3e38 would inflate the union to
+    [real_lo, 3e38] — an interval every ray slabs as non-empty, the
+    exact opposite of padding); an all-sentinel union must come out as
+    the far-point sentinel box, never the inverted neutral box (which
+    slabs to [0, t_best] for every ray).  Columns 6:8 are zero pad."""
+    real = stack[..., 0] < 1.0e37
+    lo = jnp.where(real[..., None], stack[..., 0:3], 3.0e38).min(axis=-2)
+    hi = jnp.where(real[..., None], stack[..., 3:6], -3.0e38).max(axis=-2)
+    empty = hi[..., 0:1] < lo[..., 0:1]
+    lo = jnp.where(empty, 3.0e38, lo)
+    hi = jnp.where(empty, 3.0e38, hi)
+    return jnp.concatenate(
+        [lo, hi, jnp.zeros(lo.shape[:-1] + (2,), jnp.float32)], axis=-1)
 
 
 def coarsen_sub_aabb(sub_aabb: jnp.ndarray, div: int) -> jnp.ndarray:
     """(C*8, 8) sub-box table -> same shape with the 8 slot-range boxes
     per cluster unioned into `div` wider ones (slots 0..div-1; the rest
     become far-point sentinels the slab gates cull).  Box j then bounds
-    slot rows [j*K/div, (j+1)*K/div) — the ranges _mt_gated_sub slices.
-    Sentinel-aware union exactly like the super-box construction: empty
-    unions become far-point sentinels, never inverted neutral boxes."""
+    slot rows [j*K/div, (j+1)*K/div) — the ranges _mt_gated_sub slices."""
     if div == 8:
         return sub_aabb
     g = 8 // div
-    t = sub_aabb.reshape(-1, div, g, 8)
-    real = t[:, :, :, 0] < 1.0e37
-    lo = jnp.where(real[..., None], t[:, :, :, 0:3], 3.0e38).min(axis=2)
-    hi = jnp.where(real[..., None], t[:, :, :, 3:6], -3.0e38).max(axis=2)
-    empty = hi[:, :, 0:1] < lo[:, :, 0:1]
-    lo = jnp.where(empty, 3.0e38, lo)
-    hi = jnp.where(empty, 3.0e38, hi)
-    boxes = jnp.concatenate(
-        [lo, hi, jnp.zeros(lo.shape[:2] + (2,), jnp.float32)], axis=-1)
+    boxes = _union_boxes8(sub_aabb.reshape(-1, div, g, 8))   # (C, div, 8)
     pad = jnp.concatenate(
-        [jnp.full(lo.shape[:1] + (8 - div, 6), 3.0e38, jnp.float32),
-         jnp.zeros(lo.shape[:1] + (8 - div, 2), jnp.float32)], axis=-1)
+        [jnp.full(boxes.shape[:1] + (8 - div, 6), 3.0e38, jnp.float32),
+         jnp.zeros(boxes.shape[:1] + (8 - div, 2), jnp.float32)], axis=-1)
     return jnp.concatenate([boxes, pad], axis=1).reshape(sub_aabb.shape)
 
 
@@ -1159,36 +1169,13 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         # the union box to [real_lo, 3e38]: a slab interval that is
         # non-empty for EVERY live ray, which defeats both the prepass
         # cull and the kernel's empty-block skip on any padded scene.
-        real = (jnp.arange(c_pad) < n_clusters) & (aabb_pad[:, 0] < 1.0e37)
-        lo = jnp.where(real[:, None], aabb_pad[:, 0:3],
-                       3.0e38).reshape(-1, _SUPER, 3)
-        hi = jnp.where(real[:, None], aabb_pad[:, 3:6],
-                       -3.0e38).reshape(-1, _SUPER, 3)
-
-        def _boxes(lo_m, hi_m, n):
-            # an EMPTY union (no real children: hi < lo from the masked
-            # neutral elements) must become the far-point sentinel box —
-            # the inverted neutral box itself slabs to [0, t_best] (every
-            # per-axis interval straddles everything), i.e. VISITED by
-            # every ray, the exact opposite of empty
-            empty = (hi_m[:, 0] < lo_m[:, 0])[:, None]
-            lo_m = jnp.where(empty, 3.0e38, lo_m)
-            hi_m = jnp.where(empty, 3.0e38, hi_m)
-            return jnp.concatenate(
-                [lo_m, hi_m, jnp.zeros((n, 2), jnp.float32)], axis=1)
-
-        super_aabb = _boxes(lo.min(axis=1), hi.max(axis=1),
-                            c_pad // _SUPER)
+        # the sentinel-aware union (_union_boxes8) treats lo >= 1e37
+        # members as padding; the appended pad rows and the scene build's
+        # own bucket sentinels both satisfy it, so no index mask is
+        # needed on top
+        super_aabb = _union_boxes8(aabb_pad.reshape(-1, _SUPER, 8))
         if two_level:
-            grp = super_aabb.reshape(-1, _GROUP, 8)
-            # group union over supers: sentinel supers are far-points, so
-            # mask them with the same neutral elements before reducing
-            s_real = grp[:, :, 0] < 1.0e37                  # (G, _GROUP)
-            g_lo = jnp.where(s_real[:, :, None], grp[:, :, 0:3],
-                             3.0e38).min(axis=1)
-            g_hi = jnp.where(s_real[:, :, None], grp[:, :, 3:6],
-                             -3.0e38).max(axis=1)
-            top_aabb = _boxes(g_lo, g_hi, grp.shape[0])
+            top_aabb = _union_boxes8(super_aabb.reshape(-1, _GROUP, 8))
         else:
             top_aabb = super_aabb
         order = front_to_back(top_aabb)

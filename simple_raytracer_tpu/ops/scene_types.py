@@ -161,7 +161,8 @@ class TriangleClustersSoA(NamedTuple):
     incoherent-bounce cost floor is per-(block, cluster) slab work,
     which the extra gate adds to.  Empty ranges (padding slots) are
     far-point sentinels culled by the slab gates' near >= 1e38 term.
-    None when K isn't a multiple of 8 (no aligned sub-tiles)."""
+    None when K isn't a multiple of 64 (sub-tile row offsets must
+    stay 8-sublane aligned; see the scene build)."""
     aabb: jnp.ndarray      # (C, 8) f32: [min.xyz, max.xyz, pad, pad]
     table_t: jnp.ndarray   # (C*K, 128) f32
     table_tr: Optional[jnp.ndarray] = None   # (C, 24, 128) f32 packed

@@ -251,9 +251,10 @@ def render_pass(scene: DeviceScene, camera: CameraState, canvas: jnp.ndarray,
         # per-sub-block MT gating, so "auto" routes big meshes to the
         # split per-bounce path below and "fused" keeps this form
         # reachable for tests and regression sweeps.
+        from .pallas.bvh_kernel import _TROWS
         mega_tris = mega_tris or (
             cl is not None and cl.table_tr is not None
-            and cl.table_tr.shape[1] == 24   # single-packet (K<=128) only
+            and cl.table_tr.shape[1] == _TROWS   # single-packet (K<=128)
             and cl.table_tr.shape[0] <= MEGA_PACKED_MAX_CLUSTERS)
     use_mega = (not show_normals and mega_tris
                 and tri_backend in ("auto", "fused")

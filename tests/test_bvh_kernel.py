@@ -2,6 +2,8 @@
 
 Runs the kernel in interpret mode on the CPU mesh; the same assertions
 hold compiled on TPU (checked bit-exact in round-2 bring-up)."""
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -14,13 +16,20 @@ from simple_raytracer_tpu.ops.pallas.bvh_kernel import (
 from simple_raytracer_tpu.ops.vec import Vec3
 
 
-def _mesh_scene(cluster_size=128):
+def _mesh_scene(cluster_size=128, subbox=False):
     pos, nrm = icosphere(subdivisions=2)  # 320 tris
     sc = Scene()
     sc.cluster_threshold = 64
     sc.cluster_size = cluster_size
     span = sc.pool.append(pos, nrm)
     sc.add_model(span)
+    if subbox:
+        # sub_aabb is only built under its opt-in knob (see Scene.build)
+        os.environ["SRT_BVH_SUBBOX"] = "8"
+        try:
+            return sc.build()
+        finally:
+            del os.environ["SRT_BVH_SUBBOX"]
     return sc.build()
 
 
@@ -556,9 +565,9 @@ def test_subbox_gating_is_bit_identical(variant, sub_div):
     unspecified either way (the sub-box word masks them out, so a dead
     ray sharing a block with live rays may see fewer incidental
     commits); assert only the decodes-cleanly contract for them."""
-    ds = _mesh_scene()
+    ds = _mesh_scene(subbox=True)
     cl = ds.triangles.clusters
-    assert cl.sub_aabb is not None          # K=128 -> built by Scene
+    assert cl.sub_aabb is not None          # K=128 + knob -> built
     assert cl.sub_aabb.shape == (cl.aabb.shape[0] * 8, 8)
     o, d = _rays(640, seed=31)
     alive = (jnp.arange(640) % 9 != 0).astype(jnp.float32)
@@ -588,7 +597,7 @@ def test_scene_build_sub_aabb_bounds_slots():
     """sub_aabb sub-box j of cluster c bounds exactly the valid
     triangles in slot range [j*K/8, (j+1)*K/8); all-padding ranges are
     far-point sentinels (>= 1e38) the slab gates cull."""
-    ds = _mesh_scene()
+    ds = _mesh_scene(subbox=True)
     cl = ds.triangles.clusters
     sub = np.asarray(cl.sub_aabb)
     tab = np.asarray(cl.table_t)
