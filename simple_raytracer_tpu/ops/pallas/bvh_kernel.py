@@ -503,6 +503,155 @@ def _tile_transpose(tile):
         precision=jax.lax.Precision.HIGHEST)
 
 
+def _mt_form() -> str:
+    """Trace-time select of the Moller-Trumbore evaluation form for the
+    PACKED streaming/VMEM kernels (SRT_BVH_MT env var):
+
+    - "mt" — the (K, 1) x (1, 128) VPU broadcast form (_mt_update_sub).
+    - "plucker" — the MXU bilinear form (_mt_update_sub_mxu): the same
+      intersection predicate evaluated from Pluecker coordinates, where
+      every per-(triangle, ray) quantity is a dot product of a per-tri
+      coefficient vector with the per-ray vector [d, o x d, o, 1], so
+      ONE (10, 6K) x (10, 128) matmul per (visited cluster, hit
+      sub-block) replaces ~55 VPU ops per lane pair.  Same comparisons,
+      same tie-breaks; t/u/v agree with the VPU form up to f32 rounding
+      of the reassociated arithmetic (max 1.3e-5 relative on the test
+      fixture; validated by
+      tests/test_bvh_kernel.py::test_plucker_matches_dense).
+
+    MEASURED AND REJECTED as a default (scripts/bench_plucker.py,
+    config 6 at 1080p/4 bounces on v5e): plucker 204.7 ms / 40.5
+    Mrays/s vs mt 131.8 ms / 62.9.  The MXU is the wrong unit for a
+    contraction dim of 10: f32 dot_general at Precision.HIGHEST costs
+    six bf16 passes, so the per-visit matmul is ~1.4 us where the VPU
+    broadcast MT is ~0.2 us — the MXU only wins when the contraction
+    amortizes the pass count (the one-hot transpose/attr extractions
+    here contract over 24-128).  Lower matmul precision is not an out:
+    bf16's 8 mantissa bits are far too coarse for the t comparisons and
+    u/v boundary tests.  Kept as a knob for regression sweeps; this is
+    the measured answer to the round-3 'branchless MT sub-tile select'
+    question (TODO.md).
+
+    Applies only when the finer sub-box gating is off (sub_rows == 0,
+    the measured default) and the table is packed (table_tr)."""
+    import os
+    return os.environ.get("SRT_BVH_MT", "mt")
+
+
+def _plucker_lt(raw):
+    """Per-cluster Pluecker coefficient matrix LT (10, 6K) from one
+    UNTRANSPOSED (24, 128) packed tile (triangles on lanes; rows 0-20
+    carry the table_t column meaning: v0, e1, e2, n0-n2, mat, act, gidx).
+
+    Derivation (exact identities from the Moller-Trumbore quantities of
+    render.cl:243-275, with n = e1 x e2, m = o x d, No = n . o):
+      a     = e1 . (d x e2)          = -d . n
+      u * a = (o - v0) . (d x e2)    =  d . (v0 x e2) + m . e2
+      v * a = d . ((o - v0) x e1)    = -d . (v0 x e1) - m . e1
+      t * a = e2 . ((o - v0) x e1)   =  No - n . v0
+    so [u*a, v*a, a, t*a] are dot products of per-tri 10-vectors with
+    the per-ray vector [d(3), m(3), o(3), 1].  Two more planes broadcast
+    the tile's `act` and `gidx` rows over rays (coefficient = the row on
+    the constant-1 slot; exact, every product is x*1 or x*0), so the
+    non-attrs path never needs the (24, 128) -> (128, 24) transpose.
+    The six (10, 128) plane matrices concatenate on lanes (128-aligned)
+    into one LT the kernel contracts once per hit sub-block."""
+    r = lambda j: raw[j:j + 1, :]
+    v0x, v0y, v0z = r(0), r(1), r(2)
+    e1x, e1y, e1z = r(3), r(4), r(5)
+    e2x, e2y, e2z = r(6), r(7), r(8)
+    act, gidx = r(19), r(20)
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    w1x = v0y * e1z - v0z * e1y            # v0 x e1
+    w1y = v0z * e1x - v0x * e1z
+    w1z = v0x * e1y - v0y * e1x
+    w2x = v0y * e2z - v0z * e2y            # v0 x e2
+    w2y = v0z * e2x - v0x * e2z
+    w2z = v0x * e2y - v0y * e2x
+    pd = nx * v0x + ny * v0y + nz * v0z    # n . v0
+    zero = jnp.zeros_like(act)
+    z3 = [zero, zero, zero]
+    cu = [w2x, w2y, w2z, e2x, e2y, e2z, *z3, zero]
+    cv = [-w1x, -w1y, -w1z, -e1x, -e1y, -e1z, *z3, zero]
+    ca = [-nx, -ny, -nz, *z3, *z3, zero]
+    ct = [*z3, *z3, nx, ny, nz, -pd]
+    cact = [*z3, *z3, *z3, act]
+    cgid = [*z3, *z3, *z3, gidx]
+    stack = lambda rows: jnp.concatenate(rows, axis=0)        # (10, 128)
+    return jnp.concatenate(
+        [stack(cu), stack(cv), stack(ca), stack(ct), stack(cact),
+         stack(cgid)], axis=1)                                # (10, 6K)
+
+
+def _mt_update_sub_mxu(lt, rays, t_scr, idx_scr, attr_scr, t_sub, s,
+                       with_attrs, atile=None):
+    """MXU form of _mt_update_sub for one (visited cluster, hit 128-lane
+    ray sub-block): one dot_general of the cluster's Pluecker matrix LT
+    (10, 6K) against the sub-block's ray vector (10, 128) yields the six
+    (K, 128) planes [u*a, v*a, a, t*a, act, gidx]; the VPU epilogue is
+    ~18 ops/pair (divide through by a, the SAME validity comparisons as
+    _mt_update_sub, running-min commit with the cross-cluster
+    lowest-global-index tie-break).  `atile` is the transposed (K, 24)
+    tile, needed only for with_attrs winner extraction."""
+    k = lt.shape[1] // 6
+    sl = slice(s * _SUB, (s + 1) * _SUB)
+    rox = rays[0:1, sl]
+    roy = rays[1:2, sl]
+    roz = rays[2:3, sl]
+    rdx = rays[3:4, sl]
+    rdy = rays[4:5, sl]
+    rdz = rays[5:6, sl]
+    mx = roy * rdz - roz * rdy             # m = o x d
+    my = roz * rdx - rox * rdz
+    mz = rox * rdy - roy * rdx
+    one = jnp.ones_like(rox)
+    rv = jnp.concatenate(
+        [rdx, rdy, rdz, mx, my, mz, rox, roy, roz, one], axis=0)
+    planes = jax.lax.dot_general(
+        lt, rv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)                  # (6K, 128)
+    unum = planes[0 * k:1 * k]
+    vnum = planes[1 * k:2 * k]
+    a = planes[2 * k:3 * k]
+    tnum = planes[3 * k:4 * k]
+    act = planes[4 * k:5 * k]
+    gidx = planes[5 * k:6 * k]
+    f = 1.0 / a
+    u = f * unum
+    v = f * vnum
+    t = f * tnum
+    valid = (
+        (a != 0.0)
+        & (u >= 0.0) & (u <= 1.0)
+        & (v >= 0.0) & (u + v <= 1.0)
+        & (t > 0.0)
+        & (act > 0.0)
+    )
+    t = jnp.where(valid, t, jnp.inf)
+    local_t = jnp.min(t, axis=0, keepdims=True)               # (1, 128)
+    local_if = jnp.min(jnp.where(t == local_t, gidx, jnp.float32(2e9)),
+                       axis=0, keepdims=True)
+    prev = t_scr[0:1, sl]
+    better = (local_t < prev) | (
+        (local_t == prev)
+        & (local_if < idx_scr[0:1, sl].astype(jnp.float32)))
+    t_new = jnp.where(better, local_t, prev)
+    t_scr[0:1, sl] = t_new
+    t_sub[s:s + 1, :] = t_new
+    idx_scr[0:1, sl] = jnp.where(better, local_if.astype(jnp.int32),
+                                 idx_scr[0:1, sl])
+    if with_attrs:
+        sel = jnp.where((t == local_t) & (gidx == local_if), 1.0, 0.0)
+        new_attr = jax.lax.dot_general(
+            atile[:, 0:_N_ATTRS], sel, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)              # (19, 128)
+        attr_scr[:, sl] = jnp.where(better, new_attr, attr_scr[:, sl])
+
+
 def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
                 sup, subb, out, t_scr, idx_scr, attr_scr, t_sub, lst, buf,
                 sems, *, block_l, n_clusters, with_attrs, n_sub,
@@ -702,7 +851,16 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
             def _():
                 dma(j, j % 2).wait()
                 raw = buf[j % 2]
-                if packed:
+                plucker = (packed and sub_rows == 0
+                           and _mt_form() == "plucker")
+                if plucker:
+                    lts = [_plucker_lt(raw[p * _TROWS:(p + 1) * _TROWS])
+                           for p in range(packets)]
+                    atiles = ([_tile_transpose(
+                        raw[p * _TROWS:(p + 1) * _TROWS])
+                        for p in range(packets)]
+                        if with_attrs else [None] * packets)
+                elif packed:
                     # back to the MT orientation (K tris on sublanes,
                     # attribute columns 0-20) — one MXU transpose per
                     # packet per visited cluster, amortized over every
@@ -717,6 +875,13 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
                 for s in range(n_sub):
                     @pl.when(((prev_word >> s) & 1) > 0)
                     def _(s=s):
+                        if plucker:
+                            for lt, at in zip(lts, atiles):
+                                _mt_update_sub_mxu(lt, rays, t_scr,
+                                                   idx_scr, attr_scr,
+                                                   t_sub, s, with_attrs,
+                                                   at)
+                            return
                         for tile in tiles:
                             if sub_rows:
                                 _mt_gated_sub(tile, subb, c, s, rays,
@@ -900,17 +1065,29 @@ def _kernel_packed(visit, count, order, rays, table_v, rays_sub, aabb,
         @pl.when(word != 0)
         def _():
             # K > 128 clusters span `packets` (24, 128) tiles — each
-            # transposed once per visited cluster, MT'd per hit
+            # prepared once per visited cluster, MT'd per hit
             # sub-block (a padding packet's active column is all zero,
             # so extra lanes never commit)
             crow = _TROWS * packets
             row0 = pl.multiple_of(c * crow, crow)
-            tiles = [_tile_transpose(
-                table_v[pl.ds(row0 + p * _TROWS, _TROWS), :])
-                for p in range(packets)]
+            raws = [table_v[pl.ds(row0 + p * _TROWS, _TROWS), :]
+                    for p in range(packets)]
+            plucker = sub_rows == 0 and _mt_form() == "plucker"
+            if plucker:
+                lts = [_plucker_lt(r) for r in raws]
+                atiles = ([_tile_transpose(r) for r in raws]
+                          if with_attrs else [None] * packets)
+            else:
+                tiles = [_tile_transpose(r) for r in raws]
             for s in range(n_sub):
                 @pl.when(((word >> s) & 1) > 0)
                 def _(s=s):
+                    if plucker:
+                        for lt, at in zip(lts, atiles):
+                            _mt_update_sub_mxu(lt, rays, t_scr, idx_scr,
+                                               attr_scr, t_sub, s,
+                                               with_attrs, at)
+                        return
                     for tile in tiles:
                         if sub_rows:
                             _mt_gated_sub(tile, subb, c, s, rays, t_scr,

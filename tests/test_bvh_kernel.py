@@ -250,6 +250,58 @@ def test_packed_vmem_matches_vmem(with_attrs, prepass_level):
     assert (np.asarray(a[1]) >= 0).any()
 
 
+@pytest.mark.parametrize("variant", ["packed_vmem", "hbm_packed"])
+@pytest.mark.parametrize("with_attrs", [False, True])
+def test_plucker_matches_dense(with_attrs, variant, monkeypatch):
+    """SRT_BVH_MT=plucker (the MXU bilinear Moller-Trumbore form) agrees
+    with the dense reference: identical hit masks and winner indices,
+    t within f32-reassociation rounding (u*a, v*a, a, t*a evaluated as
+    Pluecker dot products instead of the cross-product chain).  The env
+    knob is read at trace time, so the jit cache is cleared around it."""
+    from simple_raytracer_tpu.ops.pallas.bvh_kernel import _mt_form
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    assert cl.table_tr is not None
+    o, d = _rays(700, seed=33)
+    alive = jnp.ones_like(o.x)
+    t_init = jnp.where(o.x > 0, 2.0, jnp.inf).astype(jnp.float32)
+    t_ref, i_ref = intersect_triangles(o, d, ds.triangles, chunk=4096)
+    monkeypatch.setenv("SRT_BVH_MT", "plucker")
+    assert _mt_form() == "plucker"
+    intersect_triangles_bvh.clear_cache()
+    try:
+        kw = dict(packed_vmem=True) if variant == "packed_vmem" \
+            else dict(hbm_table=True)
+        res = intersect_triangles_bvh(
+            o, d, alive, t_init, cl.aabb, cl.table_t, block_r=128,
+            interpret=True, with_attrs=with_attrs, table_tr=cl.table_tr,
+            **kw)
+    finally:
+        intersect_triangles_bvh.clear_cache()
+    t_ref = np.asarray(t_ref)
+    wins = np.isfinite(t_ref) & (t_ref < np.asarray(t_init))
+    np.testing.assert_array_equal(wins, np.asarray(res[1]) >= 0)
+    # u*a = d.(v0 x e2) + m.e2 subtracts two dot products that each can
+    # exceed the result by ~|o|/|o - v0|, so near hits lose a few more
+    # bits than the cross-product chain (observed max 1.3e-5 relative on
+    # this fixture, at t = 0.02); winners and hit masks still agree
+    # exactly, and the product path is anchored by the scan-path RMSE
+    # bound regardless
+    np.testing.assert_allclose(np.asarray(res[0])[wins], t_ref[wins],
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(res[1])[wins],
+                                  np.asarray(i_ref)[wins])
+    assert wins.any()
+    if with_attrs:
+        table = np.asarray(cl.table_t)
+        gidx = table[:, 20].astype(np.int64)
+        row_of = {g: r for r, g in enumerate(gidx) if table[r, 19] > 0}
+        i_k = np.asarray(res[1])
+        for r in np.flatnonzero(wins)[:32]:
+            np.testing.assert_array_equal(
+                np.asarray(res[2])[:, r], table[row_of[i_k[r]], :_N_ATTRS])
+
+
 def test_packed_vmem_auto_selected_for_mid_tables(monkeypatch):
     """A table too big for row-VMEM residence but packed-small selects
     the packed-VMEM path automatically (no DMA kernel), and the result
