@@ -250,16 +250,19 @@ def test_packed_vmem_matches_vmem(with_attrs, prepass_level):
     assert (np.asarray(a[1]) >= 0).any()
 
 
+@pytest.mark.parametrize("cluster_size", [128, 256])
 @pytest.mark.parametrize("variant", ["packed_vmem", "hbm_packed"])
 @pytest.mark.parametrize("with_attrs", [False, True])
-def test_plucker_matches_dense(with_attrs, variant, monkeypatch):
+def test_plucker_matches_dense(with_attrs, variant, cluster_size,
+                               monkeypatch):
     """SRT_BVH_MT=plucker (the MXU bilinear Moller-Trumbore form) agrees
     with the dense reference: identical hit masks and winner indices,
     t within f32-reassociation rounding (u*a, v*a, a, t*a evaluated as
     Pluecker dot products instead of the cross-product chain).  The env
-    knob is read at trace time, so the jit cache is cleared around it."""
+    knob is read at trace time, so the jit cache is cleared around it.
+    cluster_size=256 exercises the multi-packet per-cluster LT loop."""
     from simple_raytracer_tpu.ops.pallas.bvh_kernel import _mt_form
-    ds = _mesh_scene()
+    ds = _mesh_scene(cluster_size=cluster_size)
     cl = ds.triangles.clusters
     assert cl.table_tr is not None
     o, d = _rays(700, seed=33)
