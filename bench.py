@@ -114,6 +114,11 @@ def main():
             "configs_1080p_1spp_4bounce": per_config,
             "min_config_mrays": min(c["mrays_per_second"]
                                     for c in per_config.values()),
+            # config 6 (82K-triangle mesh) joined the bench in round 3 —
+            # earlier BENCH_r*.json min_config covered configs 1-5 only
+            "min_config_mrays_r2_set": min(
+                per_config[f"config{n}"]["mrays_per_second"]
+                for n in (1, 2, 3, 4, 5)),
         },
     }
     print(json.dumps(result))
