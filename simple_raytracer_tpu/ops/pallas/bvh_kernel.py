@@ -356,13 +356,45 @@ _GROUP = 16     # superclusters per top-level GROUP when the prepass runs
                 # with two in-kernel _slab_word levels.
 
 
+def _mt_commit(t, valid, gidx, atile, t_scr, idx_scr, attr_scr, t_sub, s,
+               with_attrs):
+    """Shared commit epilogue of both Moller-Trumbore forms (_mt_update_sub
+    and _mt_update_sub_mxu): mask invalid lanes, take the per-lane min-t
+    winner with the cross-cluster lowest-global-index tie-break, mirror
+    the tightened t into the (SB, 128) sub-layout scratch, and (optional)
+    extract the winner's 19 attr rows with an exact one-hot matmul.
+    `atile` is the (K, 24) MT-orientation tile (triangles on rows);
+    `gidx` broadcasts against t ((K, 1) or (K, 128))."""
+    sl = slice(s * _SUB, (s + 1) * _SUB)
+    t = jnp.where(valid, t, jnp.inf)
+    local_t = jnp.min(t, axis=0, keepdims=True)        # (1, 128)
+    local_if = jnp.min(jnp.where(t == local_t, gidx, jnp.float32(2e9)),
+                       axis=0, keepdims=True)
+    # cross-cluster lowest-index tie-break, same as _mt_update above
+    prev = t_scr[0:1, sl]
+    better = (local_t < prev) | (
+        (local_t == prev)
+        & (local_if < idx_scr[0:1, sl].astype(jnp.float32)))
+    t_new = jnp.where(better, local_t, prev)
+    t_scr[0:1, sl] = t_new
+    t_sub[s:s + 1, :] = t_new
+    idx_scr[0:1, sl] = jnp.where(better, local_if.astype(jnp.int32),
+                                 idx_scr[0:1, sl])
+    if with_attrs:
+        sel = jnp.where((t == local_t) & (gidx == local_if), 1.0, 0.0)
+        new_attr = jax.lax.dot_general(
+            atile[:, 0:_N_ATTRS], sel, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)       # (19, 128)
+        attr_scr[:, sl] = jnp.where(better, new_attr, attr_scr[:, sl])
+
+
 def _mt_update_sub(tile, rays, t_scr, idx_scr, attr_scr, t_sub, s,
                    with_attrs):
     """_mt_update restricted to sub-block s's 128-lane ray slice.
 
     `s` must be a python int (static slices keep every lane access
-    128-aligned).  Also mirrors the tightened t into the (SB, 128)
-    sub-layout scratch so later sub-slab words see the live bound."""
+    128-aligned)."""
     sl = slice(s * _SUB, (s + 1) * _SUB)
     rox = rays[0:1, sl]
     roy = rays[1:2, sl]
@@ -397,27 +429,8 @@ def _mt_update_sub(tile, rays, t_scr, idx_scr, attr_scr, t_sub, s,
         & (t > 0.0)
         & (act > 0.0)
     )
-    t = jnp.where(valid, t, jnp.inf)
-    local_t = jnp.min(t, axis=0, keepdims=True)        # (1, 128)
-    local_if = jnp.min(jnp.where(t == local_t, gidx, jnp.float32(2e9)),
-                       axis=0, keepdims=True)
-    # same cross-cluster lowest-index tie-break as _mt_update above
-    prev = t_scr[0:1, sl]
-    better = (local_t < prev) | (
-        (local_t == prev)
-        & (local_if < idx_scr[0:1, sl].astype(jnp.float32)))
-    t_new = jnp.where(better, local_t, prev)
-    t_scr[0:1, sl] = t_new
-    t_sub[s:s + 1, :] = t_new
-    idx_scr[0:1, sl] = jnp.where(better, local_if.astype(jnp.int32),
-                                 idx_scr[0:1, sl])
-    if with_attrs:
-        sel = jnp.where((t == local_t) & (gidx == local_if), 1.0, 0.0)
-        new_attr = jax.lax.dot_general(
-            tile[:, 0:_N_ATTRS], sel, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)       # (19, 128)
-        attr_scr[:, sl] = jnp.where(better, new_attr, attr_scr[:, sl])
+    _mt_commit(t, valid, gidx, tile, t_scr, idx_scr, attr_scr, t_sub, s,
+               with_attrs)
 
 
 def _subbox_word(subb, c, s, sox, soy, soz, six, siy, siz, slive, t_sub):
@@ -538,6 +551,33 @@ def _mt_form() -> str:
     return os.environ.get("SRT_BVH_MT", "mt")
 
 
+#: number of kernel traces that actually took the MXU Pluecker form —
+#: lets tests prove the knob engaged instead of silently measuring "mt"
+#: (advisor finding, round 3)
+_PLUCKER_TRACES = 0
+
+
+def _resolve_plucker(packed: bool, sub_rows: int) -> bool:
+    """Trace-time resolution of the SRT_BVH_MT knob against its gating
+    conditions, warning when the ask is silently unsatisfiable so a
+    sweep combining knobs can't report 'plucker' numbers that actually
+    measured the VPU form (advisor finding, round 3)."""
+    if _mt_form() != "plucker":
+        return False
+    if packed and sub_rows == 0:
+        global _PLUCKER_TRACES
+        _PLUCKER_TRACES += 1
+        return True
+    import warnings
+    why = [] if packed else ["the triangle table is not packed"]
+    if sub_rows != 0:
+        why.append("sub-box gating is on (SRT_BVH_SUBBOX)")
+    warnings.warn(
+        "SRT_BVH_MT=plucker ignored: " + " and ".join(why)
+        + "; tracing the VPU 'mt' form instead", stacklevel=3)
+    return False
+
+
 def _plucker_lt(raw):
     """Per-cluster Pluecker coefficient matrix LT (10, 6K) from one
     UNTRANSPOSED (24, 128) packed tile (triangles on lanes; rows 0-20
@@ -630,26 +670,8 @@ def _mt_update_sub_mxu(lt, rays, t_scr, idx_scr, attr_scr, t_sub, s,
         & (t > 0.0)
         & (act > 0.0)
     )
-    t = jnp.where(valid, t, jnp.inf)
-    local_t = jnp.min(t, axis=0, keepdims=True)               # (1, 128)
-    local_if = jnp.min(jnp.where(t == local_t, gidx, jnp.float32(2e9)),
-                       axis=0, keepdims=True)
-    prev = t_scr[0:1, sl]
-    better = (local_t < prev) | (
-        (local_t == prev)
-        & (local_if < idx_scr[0:1, sl].astype(jnp.float32)))
-    t_new = jnp.where(better, local_t, prev)
-    t_scr[0:1, sl] = t_new
-    t_sub[s:s + 1, :] = t_new
-    idx_scr[0:1, sl] = jnp.where(better, local_if.astype(jnp.int32),
-                                 idx_scr[0:1, sl])
-    if with_attrs:
-        sel = jnp.where((t == local_t) & (gidx == local_if), 1.0, 0.0)
-        new_attr = jax.lax.dot_general(
-            atile[:, 0:_N_ATTRS], sel, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)              # (19, 128)
-        attr_scr[:, sl] = jnp.where(better, new_attr, attr_scr[:, sl])
+    _mt_commit(t, valid, gidx, atile, t_scr, idx_scr, attr_scr, t_sub, s,
+               with_attrs)
 
 
 def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
@@ -851,8 +873,7 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
             def _():
                 dma(j, j % 2).wait()
                 raw = buf[j % 2]
-                plucker = (packed and sub_rows == 0
-                           and _mt_form() == "plucker")
+                plucker = _resolve_plucker(packed, sub_rows)
                 if plucker:
                     lts = [_plucker_lt(raw[p * _TROWS:(p + 1) * _TROWS])
                            for p in range(packets)]
@@ -1072,7 +1093,7 @@ def _kernel_packed(visit, count, order, rays, table_v, rays_sub, aabb,
             row0 = pl.multiple_of(c * crow, crow)
             raws = [table_v[pl.ds(row0 + p * _TROWS, _TROWS), :]
                     for p in range(packets)]
-            plucker = sub_rows == 0 and _mt_form() == "plucker"
+            plucker = _resolve_plucker(True, sub_rows)
             if plucker:
                 lts = [_plucker_lt(r) for r in raws]
                 atiles = ([_tile_transpose(r) for r in raws]

@@ -261,7 +261,7 @@ def test_plucker_matches_dense(with_attrs, variant, cluster_size,
     Pluecker dot products instead of the cross-product chain).  The env
     knob is read at trace time, so the jit cache is cleared around it.
     cluster_size=256 exercises the multi-packet per-cluster LT loop."""
-    from simple_raytracer_tpu.ops.pallas.bvh_kernel import _mt_form
+    import simple_raytracer_tpu.ops.pallas.bvh_kernel as bk
     ds = _mesh_scene(cluster_size=cluster_size)
     cl = ds.triangles.clusters
     assert cl.table_tr is not None
@@ -270,8 +270,9 @@ def test_plucker_matches_dense(with_attrs, variant, cluster_size,
     t_init = jnp.where(o.x > 0, 2.0, jnp.inf).astype(jnp.float32)
     t_ref, i_ref = intersect_triangles(o, d, ds.triangles, chunk=4096)
     monkeypatch.setenv("SRT_BVH_MT", "plucker")
-    assert _mt_form() == "plucker"
+    assert bk._mt_form() == "plucker"
     intersect_triangles_bvh.clear_cache()
+    traces_before = bk._PLUCKER_TRACES
     try:
         kw = dict(packed_vmem=True) if variant == "packed_vmem" \
             else dict(hbm_table=True)
@@ -281,6 +282,9 @@ def test_plucker_matches_dense(with_attrs, variant, cluster_size,
             **kw)
     finally:
         intersect_triangles_bvh.clear_cache()
+    # prove the MXU form actually traced — a silent fallback to "mt"
+    # would pass every numeric assertion below (advisor finding, r3)
+    assert bk._PLUCKER_TRACES > traces_before
     t_ref = np.asarray(t_ref)
     wins = np.isfinite(t_ref) & (t_ref < np.asarray(t_init))
     np.testing.assert_array_equal(wins, np.asarray(res[1]) >= 0)
@@ -646,6 +650,28 @@ def test_subbox_gating_is_bit_identical(variant, sub_div):
     assert (np.asarray(got[1]) >= 0).any()
     dead_idx = np.asarray(got[1])[~live]
     assert ((dead_idx == -1) | (dead_idx >= 0)).all()
+
+
+def test_plucker_knob_warns_when_gated_off(monkeypatch):
+    """SRT_BVH_MT=plucker combined with conditions that force the VPU
+    form (sub-box gating on, or an unpacked table) warns instead of
+    silently measuring 'mt' (advisor finding, round 3)."""
+    import warnings
+    import simple_raytracer_tpu.ops.pallas.bvh_kernel as bk
+    monkeypatch.setenv("SRT_BVH_MT", "plucker")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert bk._resolve_plucker(True, sub_rows=16) is False
+        assert bk._resolve_plucker(False, sub_rows=0) is False
+    assert len(rec) == 2
+    assert "sub-box gating" in str(rec[0].message)
+    assert "not packed" in str(rec[1].message)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert bk._resolve_plucker(True, sub_rows=0) is True
+        monkeypatch.setenv("SRT_BVH_MT", "mt")
+        assert bk._resolve_plucker(False, sub_rows=16) is False
+    assert rec == []
 
 
 def test_scene_build_sub_aabb_bounds_slots():
