@@ -5,10 +5,10 @@ Measures ALL SIX configs (the five BASELINE scenes + the 82K-triangle
 large-mesh scene) at 1080p, 1 sample/pixel/pass, 4 bounces, and reports
 steady-state throughput in million ray segments per second
 (W*H*samples*bounces / step time) on the current default JAX device.
-The headline metric stays config 2 (four-sphere materials) for
-round-to-round continuity; the per-config numbers live in "extra" so the
-weak axes (mesh scenes, textured skybox) are captured too.  Prints
-exactly one JSON line.
+The headline `value` is the MINIMUM across all configs — the
+bar-relevant number (BASELINE asks every scene to clear 100), not the
+flattering one.  The flagship config-2 number and the full per-config
+map live in "extra".  Prints exactly one JSON line.
 
 Every measurement runs in its OWN subprocess with a hard wall-clock
 bound: `import jax` can hang before any user code runs (the axon
@@ -87,7 +87,7 @@ def main():
     device = _device_string()
     if device in ("timeout",) or device.startswith("error"):
         print(json.dumps({
-            "metric": "Mrays/sec/chip (4-bounce, 1080p, four-sphere scene)",
+            "metric": "min Mrays/sec/chip over all configs (4-bounce, 1080p)",
             "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
             "extra": {"error": f"device unavailable: {device}"}}))
         return 0
@@ -98,22 +98,24 @@ def main():
     for n in (2, 1, 3, 4, 5, 6):
         per_config[f"config{n}"] = _bench_config_subprocess(n)
 
-    headline = per_config["config2"]
-    mrays = headline["mrays_per_second"]
-    spp_1080p = mrays * 1e6 / (1920 * 1080 * 4)
+    flagship = per_config["config2"]
+    min_name, min_cfg = min(per_config.items(),
+                            key=lambda kv: kv[1]["mrays_per_second"])
+    mrays = min_cfg["mrays_per_second"]
+    spp_1080p = flagship["mrays_per_second"] * 1e6 / (1920 * 1080 * 4)
 
     result = {
-        "metric": "Mrays/sec/chip (4-bounce, 1080p, four-sphere scene)",
+        "metric": "min Mrays/sec/chip over all configs (4-bounce, 1080p)",
         "value": mrays,
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 3),
         "extra": {
+            "min_config": min_name,
+            "flagship_config2_mrays": flagship["mrays_per_second"],
             "spp_per_second_1080p": round(spp_1080p, 2),
-            "seconds_per_step": headline["seconds_per_step"],
+            "seconds_per_step": flagship["seconds_per_step"],
             "device": device,
             "configs_1080p_1spp_4bounce": per_config,
-            "min_config_mrays": min(c["mrays_per_second"]
-                                    for c in per_config.values()),
             # config 6 (82K-triangle mesh) joined the bench in round 3 —
             # earlier BENCH_r*.json min_config covered configs 1-5 only
             "min_config_mrays_r2_set": min(
