@@ -119,3 +119,34 @@ def load_obj_model(path: os.PathLike,
                     nrm[fi, ci] = flat
 
     return pool.append(pos, nrm)
+
+
+def save_obj(path: os.PathLike, positions: np.ndarray,
+             normals: np.ndarray) -> None:
+    """Write (T, 3, 3) triangle soup as OBJ with per-vertex normals,
+    using only statements the reference's loader consumes (``v``, ``vn``,
+    ``f v//vn`` — parser.cpp:55-135).  Unlike STL (one flat normal per
+    facet), this round-trips smooth shading, which is why the A/B-parity
+    mesh exports (docs/AB_PARITY.md) use OBJ.  Duplicate vertices and
+    normals are shared so the file stays compact."""
+    positions = np.asarray(positions, np.float32).reshape(-1, 3, 3)
+    normals = np.asarray(normals, np.float32).reshape(-1, 3, 3)
+    if positions.shape != normals.shape:
+        raise ValueError("positions and normals must both be (T, 3, 3)")
+
+    def index_unique(arr):
+        flat = arr.reshape(-1, 3)
+        uniq, inverse = np.unique(flat, axis=0, return_inverse=True)
+        return uniq, inverse.reshape(arr.shape[:2]) + 1  # OBJ is 1-based
+
+    vu, vidx = index_unique(positions)
+    nu, nidx = index_unique(normals)
+    lines = [f"# {positions.shape[0]} triangles "
+             "(simple_raytracer_tpu save_obj)"]
+    lines += [f"v {x:.9g} {y:.9g} {z:.9g}" for x, y, z in vu]
+    lines += [f"vn {x:.9g} {y:.9g} {z:.9g}" for x, y, z in nu]
+    lines += [f"f {vidx[t, 0]}//{nidx[t, 0]} {vidx[t, 1]}//{nidx[t, 1]} "
+              f"{vidx[t, 2]}//{nidx[t, 2]}"
+              for t in range(positions.shape[0])]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from simple_raytracer_tpu.io.image import load_ppm, save_ppm
-from simple_raytracer_tpu.io.obj import load_obj_model
+from simple_raytracer_tpu.io.obj import load_obj_model, save_obj
 from simple_raytracer_tpu.io.scene_json import load_scene, save_scene
 from simple_raytracer_tpu.io.stl import load_stl_model, save_stl
 from simple_raytracer_tpu.models import Camera, Material, Scene, TrianglePool
@@ -208,6 +208,25 @@ def test_obj_pentagon_fan(tmp_path):
     p.write_text(verts + "\nf 1 2 3 4 5\n")
     pool = TrianglePool()
     assert load_obj_model(p, pool) == (0, 3)
+
+
+def test_obj_save_roundtrip(tmp_path):
+    """save_obj -> load_obj_model reproduces the triangle soup bit-exactly
+    (vertices are emitted with %.9g, lossless for float32), including
+    smooth per-vertex normals that STL could not round-trip."""
+    rng = np.random.default_rng(7)
+    pos = rng.standard_normal((11, 3, 3)).astype(np.float32)
+    nrm = rng.standard_normal((11, 3, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    p = tmp_path / "soup.obj"
+    save_obj(p, pos, nrm)
+    pool = TrianglePool()
+    assert load_obj_model(p, pool) == (0, 11)
+    np.testing.assert_array_equal(pool.positions[:11], pos)
+    # loader re-normalizes normals: equal up to one float32 normalize
+    np.testing.assert_allclose(pool.normals[:11], nrm, atol=2e-7)
+    with pytest.raises(ValueError):
+        save_obj(p, pos, nrm[:5])
 
 
 @pytest.mark.parametrize("bad", [
