@@ -196,6 +196,31 @@ def config6_large_mesh(width: int = 960, height: int = 540,
     return scene, camera, options
 
 
+def config7_mega_mesh(width: int = 960, height: int = 540,
+                      mesh_path: Optional[str] = None,
+                      subdivisions: int = 8) -> tuple:
+    """Production-asset stress config: one ~1.31M-triangle organic sculpt
+    (subdiv-8 icosphere displacement) on a ground plane.  The packed
+    table (96 B/tri) is ~16x past the packed-VMEM residence budget, so
+    this is the scale that exercises the HBM streaming kernel
+    (bvh_kernel._kernel_hbm: double-buffered per-visit DMA over an
+    in-kernel compacted visit list) — the path big production assets
+    take.  The reference architecture (per-ray brute force over every
+    triangle, render.cl:316-331) is ~6 Grays-equivalent of Moller-
+    Trumbore per 1080p sample here; a hierarchy is not optional."""
+    scene = Scene()
+    scene.add_plane((0, -1.2, 0), (0, 1, 0), material=0)
+    m = scene.add_material(
+        Material(color=(0.8, 0.7, 0.6), smoothness=0.3), "Clay")
+    span = _add_mesh(scene, mesh_path, subdivisions=subdivisions)
+    scene.add_model(span, material=m,
+                    transform=transform_trs((0, 0, -2.5)))
+    camera = Camera(position=(0.0, 0.3, 2.5))
+    options = RenderOptions(width=width, height=height, num_samples=2,
+                            num_bounces=6)
+    return scene, camera, options
+
+
 CONFIGS = {
     1: config1_red_green,
     2: config2_four_spheres,
@@ -203,4 +228,5 @@ CONFIGS = {
     4: config4_mesh_glass,
     5: config5_two_meshes,
     6: config6_large_mesh,
+    7: config7_mega_mesh,
 }

@@ -208,9 +208,31 @@ def _tri_backend_auto(scene: DeviceScene) -> str:
     return "jnp"
 
 
+def resolve_compact_cap(n_rays: int, compact="auto"):
+    """Shared compaction policy for the BVH call sites (the scan path
+    here and the fused bounce path in ops/trace.py): `compact` is
+    "auto" (size by compact_cap_auto), an int cap, or None/0 (off);
+    the SRT_BVH_COMPACT env knob overrides for sweeps ("0" = off,
+    "auto", or an int cap), read at trace time."""
+    import os
+    env = os.environ.get("SRT_BVH_COMPACT")
+    if env is not None:
+        compact = "auto" if env == "auto" else (int(env) or None)
+    if compact == "auto":
+        cap_env = os.environ.get("SRT_BVH_COMPACT_CAP")
+        if cap_env:
+            # sweep knob that sizes the cap WITHOUT flattening the
+            # per-bounce policy (SRT_BVH_COMPACT=<int> would also force
+            # compaction onto the peeled coherent bounce 0)
+            return int(cap_env)
+        from .pallas.bvh_kernel import compact_cap_auto
+        return compact_cap_auto(n_rays)
+    return compact or None
+
+
 def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
                 tri_chunk: int = 256, tri_backend: str = "auto",
-                alive: jnp.ndarray = None) -> Hit:
+                alive: jnp.ndarray = None, compact=None) -> Hit:
     """Nearest hit across all primitive categories, with shading data.
 
     Equivalent to closest_intersection (render.cl:293-378): strict `<`
@@ -221,7 +243,18 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
     tri_backend: "jnp" (fused XLA loop), "pallas" (blockwise TPU kernel),
     "bvh" (VMEM-resident packet-culling TPU kernel), "clustered" (HBM/DMA
     packet-culling TPU kernel), or "auto".  `alive` is an optional (R,)
-    bool mask letting the culling kernels skip fully-dead ray blocks."""
+    bool mask letting the culling kernels skip fully-dead ray blocks.
+    `compact` routes the BVH backends through the sparse-bounce ray
+    compaction (see intersect_triangles_bvh_compact / resolve_compact_cap);
+    live-ray results are bit-identical either way.  Default None (off) —
+    the CALLER owns the policy because it is bounce-dependent: coherent
+    all-alive camera rays lose under compaction (the sort/gather/scatter
+    costs more than the dense kernel's tile-coherent early exit leaves on
+    the table; 21.9 vs 14.1 ms measured on the 82K-tri bench bounce 0),
+    sparse secondary bounces win big (59.6 -> 38.7 ms bounce 1,
+    scripts/bench_compact_parts.py), so trace_rays peels bounce 0 dense
+    and passes compact="auto" for bounces >= 1.  SRT_BVH_COMPACT
+    overrides everywhere for sweeps."""
     if tri_backend == "auto":
         tri_backend = _tri_backend_auto(scene)
     inf = jnp.full_like(o.x, jnp.inf)
@@ -239,7 +272,7 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         t_p, i_p = intersect_planes(o, d, scene.planes)
     else:
         t_p, i_p = inf, zero_i
-    tri_attrs = None
+    tri_attrs = n_tri_pre = tri_mat_pre = None
     if not has_tris:
         t_t, i_t = inf, zero_i
     elif tri_backend in ("bvh", "clustered") \
@@ -253,12 +286,24 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         t_seed = jnp.minimum(t_s, t_p)
         # "clustered" (the round-1 backend name) forces the HBM/DMA table
         # placement; "bvh" lets the kernel pick by table size
-        from .pallas.bvh_kernel import maybe_sub_aabb
+        from .pallas.bvh_kernel import (maybe_sub_aabb,
+                                        intersect_triangles_bvh_compact)
         sub, sdiv = maybe_sub_aabb(cl)
-        t_t, i_t, tri_attrs = intersect_triangles_bvh(
-            o, d, alive_f, t_seed, cl.aabb, cl.table_t, with_attrs=True,
-            hbm_table=True if tri_backend == "clustered" else None,
-            table_tr=cl.table_tr, sub_aabb=sub, sub_div=sdiv)
+        cap = resolve_compact_cap(o.x.shape[0], compact)
+        kw = dict(hbm_table=True if tri_backend == "clustered" else None,
+                  table_tr=cl.table_tr, sub_aabb=sub, sub_div=sdiv)
+        if cap:
+            # compact route: the barycentric/material tail already ran
+            # in compact space (bvh_kernel._compact_shade) — only
+            # (t, normal, material) come back at full R
+            t_t, n_tri_pre, tri_mat_pre = intersect_triangles_bvh_compact(
+                o, d, alive_f, t_seed, cl.aabb, cl.table_t, cap=cap,
+                shaded=True, **kw)
+            i_t = jnp.zeros_like(o.x, jnp.int32)
+        else:
+            t_t, i_t, tri_attrs = intersect_triangles_bvh(
+                o, d, alive_f, t_seed, cl.aabb, cl.table_t,
+                with_attrs=True, **kw)
         i_t = jnp.maximum(i_t, 0)   # -1 (no win) -> any index; t is +inf
     elif tri_backend == "pallas":
         from .pallas.triangle_kernel import (intersect_triangles_pallas,
@@ -318,7 +363,11 @@ def closest_hit(scene: DeviceScene, o: Vec3, d: Vec3,
         normal = normal * jnp.where(front, 1.0, -1.0)
         return Hit(hit=hit, t=t, position=position, normal=normal,
                    front=front, material=material)
-    if tri_attrs is not None:
+    if n_tri_pre is not None:
+        # compact route: shading tail already evaluated in compact space
+        # (values bit-identical to the branch below for winning rays)
+        n_tri, tri_material = n_tri_pre, tri_mat_pre
+    elif tri_attrs is not None:
         # winner attributes came straight out of the BVH kernel as dense
         # (19, R) rows: [v0, e1, e2, n0, n1, n2, material]
         tv0 = Vec3(tri_attrs[0], tri_attrs[1], tri_attrs[2])

@@ -77,6 +77,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1534,3 +1535,237 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
     if with_attrs:
         return t_best, idx, res[2:]
     return t_best, idx
+
+
+def compact_cap_auto(n_rays: int, block_r: int = 1536) -> Optional[int]:
+    """Default capacity for intersect_triangles_bvh_compact: 1/16 of the
+    ray count, rounded up to a block multiple, floored at 16 blocks.
+
+    Sized from the measured admission profile of the 82K-triangle bench
+    scene at 1080p (scripts/measure_compact.py): rays admitting >= 1
+    supercluster peak at ~80K of 2.07M (~3.9%) across all four bounces,
+    so 1/16 (129,024 rays at 1080p) holds a comfortable margin while
+    keeping the compacted kernel ~16x smaller than the dense one.
+    Returns None (compaction off) below 64 blocks, where the dense
+    kernel is already cheap and the sort/gather overhead is pure loss."""
+    if n_rays < 64 * block_r:
+        return None
+    blocks = -(-n_rays // (16 * block_r))
+    return max(blocks, 16) * block_r
+
+
+def intersect_triangles_bvh_compact(
+        o: Vec3, d: Vec3, alive: jnp.ndarray, t_init: jnp.ndarray,
+        aabb: jnp.ndarray, table_t: jnp.ndarray, cap: int,
+        block_r: int = 1536, interpret: bool = False,
+        with_attrs: bool = False, hbm_table: Optional[bool] = None,
+        table_tr: Optional[jnp.ndarray] = None,
+        prepass_level: str = "group",
+        packed_vmem: Optional[bool] = None,
+        sub_aabb: Optional[jnp.ndarray] = None, sub_div: int = 8,
+        shaded: bool = False):
+    """intersect_triangles_bvh behind a ray compaction: only rays that
+    can possibly intersect the mesh enter the kernel, densely packed.
+
+    Secondary bounces of a mesh scene are SPARSE: at 1080p/4 bounces on
+    the 82K-triangle bench scene, at most ~4% of rays admit any
+    supercluster per bounce, yet the dense kernel's 128-lane MT
+    sub-blocks run whenever ANY of their rays admits a cluster —
+    measured 2.8-9% MT lane occupancy (scripts/measure_compact.py,
+    scripts/measure_admission.py), i.e. ~90 of a 133 ms step multiplying
+    mostly-dead lanes.  This wrapper:
+
+      1. slab-tests every ray against the SUPERCLUSTER boxes (the same
+         sentinel-aware _union_boxes8 boxes and _visit_prepass slab
+         semantics the kernel itself gates with) as fused XLA in (S, R)
+         orientation — ~0.2 ms at 1080p,
+      2. sorts ray indices by (front-to-back rank of the first admitted
+         supercluster, direction octant) with non-admitting rays keyed
+         last — one stable u32 key+value sort, ~3.7 ms at 2M rays; the
+         stable sort preserves pixel-tile coherence inside each bucket,
+      3. runs the normal kernel on the first `cap` rays of that order
+         (a static shape: ceil-padded with the non-admitting tail,
+         whose rays the kernel simply reports as misses),
+      4. scatters results back to ray order.  shaded=False returns the
+         kernel's own (t, idx[, attrs]) via one row-packed i32 scatter
+         (bitcast — a float scatter would canonicalize the idx = -1 NaN
+         payload).  shaded=True (the production form, closest_hit's
+         compact route) first evaluates the triangle-shading tail
+         (barycentric smooth normal + material, render.cl:339-343) IN
+         COMPACT SPACE and scatters only five 1-D lanes
+         (t, nx, ny, nz, material) — the 19 attr rows never travel,
+         which is the difference between a ~16 ms and ~4 ms return trip
+         at 1080p.  Returns (t, normal Vec3, material f32), with
+         non-winners at (inf, 0, 0).
+
+    When more than `cap` rays admit (e.g. the camera parked inside the
+    mesh), a lax.cond falls back to the dense kernel on all rays —
+    results stay correct for every scene/viewpoint, compaction is purely
+    a fast path.  Results are bit-identical to the dense kernel FOR LIVE
+    RAYS: the per-ray math is lane-independent, commits are (t,
+    lowest-gidx) mins (visit-order independent), and the admission test
+    is conservative — a ray it rejects can hit no triangle strictly
+    inside its slab interval (triangle subset of cluster box subset of
+    super box, far bound capped by the SAME t_init the kernel seeds
+    t_scr with).  DEAD rays differ harmlessly: the dense kernel lets
+    them report coincidental hits (they ride along in the MT lanes of
+    blocks their live neighbors open), the compact path reports misses;
+    every caller masks dead lanes (trace_rays: h_alive = alive &
+    hit.hit), so rendered output is identical.
+
+    The reference pays the same sparsity linearly per ray inside its
+    per-pixel loop (render.cl:316-331 skips whole models by AABB); a
+    lane-SIMD machine needs the compaction to reach the same effect.
+    """
+    n_rays = o.x.shape[0]
+    if cap >= n_rays or 31 - max((n_rays - 1).bit_length(), 1) < 4:
+        # no headroom to compact (or no key bits left beside the ray
+        # index — rays beyond ~134M): plain dense call
+        res = intersect_triangles_bvh(
+            o, d, alive, t_init, aabb, table_t, block_r=block_r,
+            interpret=interpret, with_attrs=with_attrs or shaded,
+            hbm_table=hbm_table, table_tr=table_tr,
+            prepass_level=prepass_level, packed_vmem=packed_vmem,
+            sub_aabb=sub_aabb, sub_div=sub_div)
+        if not shaded:
+            return res
+        lanes = _compact_shade(o, d, res[0], res[1], res[2])
+        return (res[0], Vec3(lanes[0], lanes[1], lanes[2]), lanes[3])
+
+    # -- supercluster boxes: same construction as the kernel entry ----
+    n_clusters = aabb.shape[0]
+    c_pad = ((n_clusters + _SUPER - 1) // _SUPER) * _SUPER
+    if c_pad > n_clusters:
+        sent = jnp.full((c_pad - n_clusters, 8), 3.0e38,
+                        jnp.float32).at[:, 6:].set(0.0)
+        aabb_pad = jnp.concatenate([aabb, sent])
+    else:
+        aabb_pad = aabb
+    super_aabb = _union_boxes8(aabb_pad.reshape(-1, _SUPER, 8))
+    n_super = super_aabb.shape[0]
+
+    # -- front-to-back rank of each super (same heuristic as `order`) --
+    w = alive
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    origin = jnp.stack([jnp.sum(o.x * w), jnp.sum(o.y * w),
+                        jnp.sum(o.z * w)]) / wsum
+    centers = (super_aabb[:, 0:3] + super_aabb[:, 3:6]) * 0.5
+    d2 = jnp.sum((centers - origin[None, :]) ** 2, axis=1)
+    rank = jnp.zeros((n_super,), jnp.int32).at[jnp.argsort(d2)].set(
+        jnp.arange(n_super, dtype=jnp.int32))
+
+    # -- per-ray admission + first-admitted-super rank, (S, R) --------
+    ox, oy, oz = o.x[None], o.y[None], o.z[None]
+    inx, iny, inz = 1.0 / d.x[None], 1.0 / d.y[None], 1.0 / d.z[None]
+    live = (alive > 0.0)[None]
+    col = lambda j: super_aabb[:, j][:, None]
+    t1x = (col(0) - ox) * inx
+    t2x = (col(3) - ox) * inx
+    t1y = (col(1) - oy) * iny
+    t2y = (col(4) - oy) * iny
+    t1z = (col(2) - oz) * inz
+    t2z = (col(5) - oz) * inz
+    near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                   jnp.minimum(t1y, t2y)),
+                       jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
+    far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                  jnp.maximum(t1y, t2y)),
+                      jnp.minimum(jnp.maximum(t1z, t2z), t_init[None]))
+    maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & live
+    first = jnp.min(jnp.where(maybe, rank[:, None], n_super), axis=0)
+    count = jnp.sum(first < n_super, dtype=jnp.int32)
+
+    # -- one single-operand sort: (first-super rank, direction octant)
+    # packed ABOVE the ray index in one i32 — sorting one array measures
+    # 2.5x cheaper than sort_key_val at 2M rays (scripts/
+    # bench_compact_parts.py), and the in-key index makes the order
+    # stable (pixel-tile coherence inside each bucket) for free.  The
+    # bucket field gets whatever bits the ray index leaves free; ranks
+    # beyond its clamp share the last real bucket (coherence loss only,
+    # never correctness).
+    idx_bits = max((n_rays - 1).bit_length(), 1)
+    bucket_bits = 31 - idx_bits
+    n_buckets = 1 << bucket_bits           # last bucket = non-admitting
+    octant = ((d.x < 0) * 4 + (d.y < 0) * 2 + (d.z < 0)).astype(jnp.int32)
+    bucket = jnp.minimum(first * 8 + octant, n_buckets - 2)
+    bucket = jnp.where(first < n_super, bucket, n_buckets - 1)
+    iota = jnp.arange(n_rays, dtype=jnp.int32)
+    packed_key = jnp.left_shift(bucket, idx_bits) | iota
+    (skey,) = jax.lax.sort((packed_key,))
+    prefix = jax.lax.slice_in_dim(skey, 0, cap) & ((1 << idx_bits) - 1)
+
+    kw = dict(block_r=block_r, interpret=interpret,
+              with_attrs=with_attrs or shaded,
+              hbm_table=hbm_table, table_tr=table_tr,
+              prepass_level=prepass_level, packed_vmem=packed_vmem,
+              sub_aabb=sub_aabb, sub_div=sub_div)
+    n_out = 2 + (_N_ATTRS if kw["with_attrs"] else 0)
+
+    def compacted(_):
+        packed = jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, alive, t_init],
+                           axis=1)                        # (R, 8) rows
+        rows = jnp.take(packed, prefix, axis=0).T         # (8, cap)
+        ro = Vec3(rows[0], rows[1], rows[2])
+        rd = Vec3(rows[3], rows[4], rows[5])
+        res = intersect_triangles_bvh(ro, rd, rows[6], rows[7], aabb,
+                                      table_t, **kw)
+        bc = jax.lax.bitcast_convert_type
+        if shaded:
+            # t scatters with a +inf miss fill; nx/ny/nz/mat with 0 —
+            # five 1-D lane scatters beat any (R, k) row scatter, whose
+            # minor dim pads to 128 lanes (16x traffic inflation)
+            lanes = _compact_shade(ro, rd, res[0], res[1], res[2])
+            t = jnp.full((n_rays,), jnp.inf, jnp.float32).at[prefix].set(
+                res[0], unique_indices=True)
+            outs = [jnp.zeros((n_rays,), jnp.float32).at[prefix].set(
+                v, unique_indices=True) for v in lanes]
+            return (t, Vec3(outs[0], outs[1], outs[2]), outs[3])
+        parts = [bc(res[0], jnp.int32)[None], res[1][None]]
+        if kw["with_attrs"]:
+            parts.append(bc(res[2], jnp.int32))
+        pack_c = jnp.concatenate(parts, axis=0).T         # (cap, n_out)
+        miss = jnp.asarray(
+            [np.float32(np.inf).view(np.int32), -1] + [0] * (n_out - 2),
+            jnp.int32)
+        full = jnp.broadcast_to(miss[None], (n_rays, n_out)).at[
+            prefix].set(pack_c, unique_indices=True).T    # (n_out, R)
+        t = bc(full[0], jnp.float32)
+        if kw["with_attrs"]:
+            return t, full[1], bc(full[2:], jnp.float32)
+        return t, full[1]
+
+    def dense(_):
+        res = intersect_triangles_bvh(o, d, alive, t_init, aabb,
+                                      table_t, **kw)
+        if shaded:
+            lanes = _compact_shade(o, d, res[0], res[1], res[2])
+            return (res[0], Vec3(lanes[0], lanes[1], lanes[2]), lanes[3])
+        return res
+
+    return jax.lax.cond(count <= cap, compacted, dense, None)
+
+
+def _compact_shade(ro: Vec3, rd: Vec3, t_c, i_c, attrs):
+    """The triangle-shading tail of closest_hit (barycentric smooth
+    normal + material, render.cl:339-343), evaluated right where the
+    winner attributes already are — in COMPACT space — so only 4 small
+    lanes travel back to ray order instead of 19 attr rows.
+    Elementwise per ray, so values for winning rays are bit-identical
+    to the dense full-R evaluation; non-winners are sanitized to 0
+    (their dense counterparts are garbage both ways — closest_hit
+    selects them out)."""
+    from ..intersect import barycentric_weights_from_edges
+    from ..vec import normalize as vnormalize
+    pos = ro + rd * t_c
+    tv0 = Vec3(attrs[0], attrs[1], attrs[2])
+    ea = Vec3(attrs[3], attrs[4], attrs[5])
+    eb = Vec3(attrs[6], attrs[7], attrs[8])
+    wx, wy, wz = barycentric_weights_from_edges(ea, eb, pos - tv0)
+    n = (Vec3(attrs[9], attrs[10], attrs[11]) * wx
+         + Vec3(attrs[12], attrs[13], attrs[14]) * wy
+         + Vec3(attrs[15], attrs[16], attrs[17]) * wz)
+    n = vnormalize(n)
+    win = i_c >= 0
+    zero = jnp.zeros_like(t_c)
+    clean = lambda v: jnp.where(win, v, zero)
+    return (clean(n.x), clean(n.y), clean(n.z), clean(attrs[18]))

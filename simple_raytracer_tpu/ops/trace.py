@@ -108,13 +108,22 @@ def trace_rays_fused(scene: DeviceScene, o: Vec3, d: Vec3,
             if scene.planes.material.shape[0]:
                 t_p, _ = intersect_planes(ro, rd, scene.planes)
                 t_seed = jnp.minimum(t_seed, t_p)
+            from .intersect import resolve_compact_cap
             from .pallas.bvh_kernel import (intersect_triangles_bvh,
+                                            intersect_triangles_bvh_compact,
                                             maybe_sub_aabb)
             sub, sdiv = maybe_sub_aabb(cl)
-            t_t, _, attrs = intersect_triangles_bvh(
-                ro, rd, state[7], t_seed, cl.aabb, cl.table_t,
-                block_r=bvh_block_r, with_attrs=True, interpret=interpret,
-                table_tr=cl.table_tr, sub_aabb=sub, sub_div=sdiv)
+            cap = resolve_compact_cap(n, None)
+            kw = dict(block_r=bvh_block_r, with_attrs=True,
+                      interpret=interpret, table_tr=cl.table_tr,
+                      sub_aabb=sub, sub_div=sdiv)
+            if cap:
+                t_t, _, attrs = intersect_triangles_bvh_compact(
+                    ro, rd, state[7], t_seed, cl.aabb, cl.table_t,
+                    cap=cap, **kw)
+            else:
+                t_t, _, attrs = intersect_triangles_bvh(
+                    ro, rd, state[7], t_seed, cl.aabb, cl.table_t, **kw)
             tri_rows = jnp.concatenate([t_t[None], attrs], axis=0)
         state = bounce_step(state, is_last, sph_tab, pln_tab, mat_tab,
                             tri_rows=tri_rows, block_r=block_r,
@@ -155,10 +164,11 @@ def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
     # (render.cl:407-410 breaks on hit; the miss path also breaks).
     effective_bounces = 1 if show_normals else num_bounces
 
-    def body(carry, i):
+    def body(carry, i, compact=None):
         o, d, color, mask, seed, alive, sky_mask, sky_dir = carry
         hit = closest_hit(scene, o, d, tri_chunk=tri_chunk,
-                          tri_backend=tri_backend, alive=alive)
+                          tri_backend=tri_backend, alive=alive,
+                          compact=compact)
         h_alive = alive & hit.hit
         m_alive = alive & (~hit.hit)
 
@@ -204,7 +214,20 @@ def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
         return (o, d, color, mask, seed, cont, sky_mask, sky_dir), None
 
     carry = (o, d, color, mask, seed, alive, sky_mask, sky_dir)
-    carry, _ = jax.lax.scan(body, carry, jnp.arange(effective_bounces))
+    # Bounce 0 is PEELED out of the scan so the two regimes get different
+    # BVH routing: camera rays are coherent and all alive — the dense
+    # kernel's pixel-tile blocks + front-to-back early exit already win
+    # there, and the compact wrapper's sort/gather/scatter is pure
+    # overhead (21.9 vs 14.1 ms measured on the 82K-tri bench at 1080p,
+    # scripts/bench_compact_parts.py).  Secondary bounces are SPARSE
+    # (<4% of rays admit any supercluster, scripts/measure_compact.py)
+    # and default to ray compaction (closest_hit compact="auto"; the
+    # SRT_BVH_COMPACT env knob still overrides BOTH regimes for sweeps).
+    # Together: config 6 84.4->76 ms class, see TODO.md Performance.
+    carry, _ = body(carry, jnp.int32(0), compact=None)
+    if effective_bounces > 1:
+        carry, _ = jax.lax.scan(functools.partial(body, compact="auto"),
+                                carry, jnp.arange(1, effective_bounces))
     color, sky_mask, sky_dir = carry[2], carry[6], carry[7]
     skyc = sky_color(sky_dir, scene.sky, scene.skybox)
     return color + sky_mask * skyc

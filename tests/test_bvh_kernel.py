@@ -699,3 +699,135 @@ def test_scene_build_sub_aabb_bounds_slots():
             lo, hi = verts.reshape(-1, 3).min(0), verts.reshape(-1, 3).max(0)
             np.testing.assert_allclose(box[0:3], lo, rtol=1e-6, atol=1e-6)
             np.testing.assert_allclose(box[3:6], hi, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("with_attrs", [False, True])
+@pytest.mark.parametrize("scenario", ["compacted", "overflow", "mixed"])
+def test_compact_wrapper_matches_dense(with_attrs, scenario):
+    """intersect_triangles_bvh_compact is bit-identical to the dense
+    kernel in BOTH cond branches: "compacted" aims most rays away from
+    the mesh (admitting count fits the cap -> the sparse fast path
+    runs), "overflow" aims every ray at it with a cap far below the ray
+    count (the lax.cond dense fallback runs), "mixed" adds dead rays,
+    finite t_init seeds and NaN-prone zero-component directions to the
+    compacted case.  Interpret mode on CPU; the dense kernel itself is
+    pinned against the jnp path elsewhere (test_bvh_matches_dense)."""
+    from simple_raytracer_tpu.ops.pallas.bvh_kernel import (
+        intersect_triangles_bvh_compact)
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    n = 1024
+    rng = np.random.default_rng(11)
+    o_np = rng.uniform(2.5, 3.5, (n, 3)).astype(np.float32)
+    to_mesh = -o_np + rng.normal(scale=0.3, size=(n, 3)).astype(np.float32)
+    away = o_np + rng.normal(scale=0.3, size=(n, 3)).astype(np.float32)
+    if scenario == "overflow":
+        d_np, cap = to_mesh, 128                 # every ray admits
+    else:
+        # ~1/8 of rays can touch the mesh; the rest look away
+        aimed = rng.random(n) < 0.125
+        d_np = np.where(aimed[:, None], to_mesh, away)
+        cap = 512
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    alive = np.ones((n,), np.float32)
+    t_init = np.full((n,), np.inf, np.float32)
+    if scenario == "mixed":
+        alive[::7] = 0.0                         # dead rays stay misses
+        t_init[::3] = 2.0                        # sphere/plane seeds
+        d_np[::5, 1] = 0.0                       # 1/d = inf slab terms
+        d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3.from_array(jnp.asarray(o_np))
+    d = Vec3.from_array(jnp.asarray(d_np))
+    alive = jnp.asarray(alive)
+    t_init = jnp.asarray(t_init)
+    kw = dict(block_r=128, interpret=True, with_attrs=with_attrs)
+    dense = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
+                                    cl.table_t, **kw)
+    comp = intersect_triangles_bvh_compact(o, d, alive, t_init, cl.aabb,
+                                           cl.table_t, cap=cap, **kw)
+    # parity is modulo the alive mask: the dense kernel lets dead rays
+    # report coincidental hits (they ride along in MT lanes of blocks
+    # their live neighbors open), the compact path reports misses; both
+    # are masked out downstream (trace_rays: h_alive = alive & hit.hit)
+    live = np.asarray(alive) > 0
+    np.testing.assert_array_equal(np.asarray(dense[0])[live],
+                                  np.asarray(comp[0])[live])
+    np.testing.assert_array_equal(np.asarray(dense[1])[live],
+                                  np.asarray(comp[1])[live])
+    assert np.isinf(np.asarray(comp[0])[~live]).all()
+    assert (np.asarray(comp[1])[~live] == -1).all()
+    if with_attrs:
+        wins = (np.asarray(dense[1]) >= 0) & live
+        np.testing.assert_array_equal(np.asarray(dense[2])[:, wins],
+                                      np.asarray(comp[2])[:, wins])
+        # losers carry the documented miss fill (zeros) on the compact
+        # path; the dense kernel also leaves them at scratch zero
+        assert not np.isnan(np.asarray(comp[2])).any()
+
+
+def test_compact_cap_auto_policy():
+    from simple_raytracer_tpu.ops.pallas.bvh_kernel import compact_cap_auto
+    assert compact_cap_auto(1536 * 8) is None          # too small to pay
+    assert compact_cap_auto(1920 * 1080) == 85 * 1536  # 1/16, block-rounded
+    assert compact_cap_auto(1536 * 64) == 16 * 1536    # floor: 16 blocks
+    assert compact_cap_auto(1536 * 64) * 16 >= 1536 * 64
+
+
+@pytest.mark.parametrize("scenario", ["compacted", "overflow"])
+def test_compact_shaded_matches_dense_shading(scenario):
+    """shaded=True returns exactly what closest_hit's attrs branch would
+    compute at full R (barycentric smooth normal, normalized, and the
+    material row) for every winning ray, and (inf, 0, 0) for the rest.
+    Covers both cond branches via the cap."""
+    from simple_raytracer_tpu.ops.pallas.bvh_kernel import (
+        intersect_triangles_bvh_compact)
+    from simple_raytracer_tpu.ops.intersect import (
+        barycentric_weights_from_edges)
+    from simple_raytracer_tpu.ops.vec import normalize
+    ds = _mesh_scene()
+    cl = ds.triangles.clusters
+    n = 1024
+    rng = np.random.default_rng(23)
+    o_np = rng.uniform(2.5, 3.5, (n, 3)).astype(np.float32)
+    to_mesh = -o_np + rng.normal(scale=0.3, size=(n, 3)).astype(np.float32)
+    away = o_np + rng.normal(scale=0.3, size=(n, 3)).astype(np.float32)
+    if scenario == "overflow":
+        d_np, cap = to_mesh, 128
+    else:
+        aimed = rng.random(n) < 0.125
+        d_np = np.where(aimed[:, None], to_mesh, away)
+        cap = 512
+    d_np /= np.linalg.norm(d_np, axis=1, keepdims=True)
+    o = Vec3.from_array(jnp.asarray(o_np))
+    d = Vec3.from_array(jnp.asarray(d_np))
+    alive = jnp.ones((n,), jnp.float32)
+    t_init = jnp.full((n,), jnp.inf, jnp.float32)
+    kw = dict(block_r=128, interpret=True)
+    t_d, i_d, attrs = intersect_triangles_bvh(o, d, alive, t_init,
+                                              cl.aabb, cl.table_t,
+                                              with_attrs=True, **kw)
+    t_c, n_c, mat_c = intersect_triangles_bvh_compact(
+        o, d, alive, t_init, cl.aabb, cl.table_t, cap=cap, shaded=True,
+        **kw)
+    np.testing.assert_array_equal(np.asarray(t_d), np.asarray(t_c))
+    # closest_hit's own shading tail at full R (the reference math)
+    pos = o + d * t_d
+    tv0 = Vec3(attrs[0], attrs[1], attrs[2])
+    ea = Vec3(attrs[3], attrs[4], attrs[5])
+    eb = Vec3(attrs[6], attrs[7], attrs[8])
+    wx, wy, wz = barycentric_weights_from_edges(ea, eb, pos - tv0)
+    n_ref = normalize(Vec3(attrs[9], attrs[10], attrs[11]) * wx
+                      + Vec3(attrs[12], attrs[13], attrs[14]) * wy
+                      + Vec3(attrs[15], attrs[16], attrs[17]) * wz)
+    wins = np.asarray(i_d) >= 0
+    # CPU interpret mode contracts FMAs differently between the two
+    # compilation contexts (1-ulp differences — the file-wide convention,
+    # see test_bvh_matches_dense); compiled on TPU both are bit-exact
+    for got, ref in ((n_c.x, n_ref.x), (n_c.y, n_ref.y), (n_c.z, n_ref.z)):
+        np.testing.assert_allclose(np.asarray(got)[wins],
+                                   np.asarray(ref)[wins],
+                                   rtol=2e-6, atol=2e-7)
+        np.testing.assert_array_equal(np.asarray(got)[~wins], 0.0)
+    np.testing.assert_array_equal(np.asarray(mat_c)[wins],
+                                  np.asarray(attrs[18])[wins])
+    np.testing.assert_array_equal(np.asarray(mat_c)[~wins], 0.0)
