@@ -1,14 +1,16 @@
 #!/usr/bin/env python
 """Headline benchmark: Mrays/sec/chip at 4-bounce (BASELINE.md target: 100).
 
-Measures ALL SIX configs (the five BASELINE scenes + the 82K-triangle
-large-mesh scene) at 1080p, 1 sample/pixel/pass, 4 bounces, and reports
-steady-state throughput in million ray segments per second
-(W*H*samples*bounces / step time) on the current default JAX device.
-The headline `value` is the MINIMUM across all configs — the
-bar-relevant number (BASELINE asks every scene to clear 100), not the
-flattering one.  The flagship config-2 number and the full per-config
-map live in "extra".  Prints exactly one JSON line.
+Measures ALL SEVEN configs (the five BASELINE scenes, the 82K-triangle
+large-mesh scene, and the 1.31M-triangle mega-mesh stress scene) at
+1080p, 1 sample/pixel/pass, 4 bounces, and reports steady-state
+throughput in million ray segments per second (W*H*samples*bounces /
+step time) on the current default JAX device.  The headline `value` is
+the MINIMUM across the six bar-relevant configs (BASELINE asks every
+showcase-scale scene to clear 100), not the flattering one; the
+beyond-baseline config 7 reports separately in "extra" alongside the
+flagship config-2 number and the full per-config map.  Prints exactly
+one JSON line.
 
 Every measurement runs in its OWN subprocess with a hard wall-clock
 bound: `import jax` can hang before any user code runs (the axon
@@ -95,8 +97,14 @@ def main():
     # headline config first: if the device wedges mid-bench, the most
     # important number is already in hand and the rest degrade per-config
     per_config = {}
-    for n in (2, 1, 3, 4, 5, 6):
+    for n in (2, 1, 3, 4, 5, 6, 7):
         per_config[f"config{n}"] = _bench_config_subprocess(n)
+    # config 7 (1.31M-tri mega-mesh, HBM streaming path) is a
+    # beyond-baseline stress row added round 4: reported in extra, NOT
+    # folded into the bar-relevant min (the >=100 bar is BASELINE's
+    # showcase-scale scenes; the reference's own architecture cannot
+    # render this scene at any usable rate)
+    mega = per_config.pop("config7")
 
     flagship = per_config["config2"]
     min_name, min_cfg = min(per_config.items(),
@@ -115,7 +123,9 @@ def main():
             "spp_per_second_1080p": round(spp_1080p, 2),
             "seconds_per_step": flagship["seconds_per_step"],
             "device": device,
-            "configs_1080p_1spp_4bounce": per_config,
+            "config7_megamesh_1.31Mtri_mrays": mega["mrays_per_second"],
+            "configs_1080p_1spp_4bounce": {**per_config,
+                                           "config7": mega},
             # config 6 (82K-triangle mesh) joined the bench in round 3 —
             # earlier BENCH_r*.json min_config covered configs 1-5 only
             "min_config_mrays_r2_set": min(

@@ -1538,20 +1538,50 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
 
 
 def compact_cap_auto(n_rays: int, block_r: int = 1536) -> Optional[int]:
-    """Default capacity for intersect_triangles_bvh_compact: 1/16 of the
+    """Default capacity for intersect_triangles_bvh_compact: 1/20 of the
     ray count, rounded up to a block multiple, floored at 16 blocks.
 
     Sized from the measured admission profile of the 82K-triangle bench
     scene at 1080p (scripts/measure_compact.py): rays admitting >= 1
-    supercluster peak at ~80K of 2.07M (~3.9%) across all four bounces,
-    so 1/16 (129,024 rays at 1080p) holds a comfortable margin while
-    keeping the compacted kernel ~16x smaller than the dense one.
+    supercluster peak at ~80K of 2.07M (~3.9%) across all four bounces.
+    The cap sweep (scripts/bench_compact.py, v5e, peeled policy) makes
+    1/20 the sweet spot: 98,304 = 107.2 Mrays/s, 110,592 = 106.3,
+    130,560 (1/16) = 102.9, while 76,800 sits BELOW the bounce-1
+    admission peak and collapses to the dense fallback (79.1) — so 1/20
+    (104,448 at 1080p, ~1.3x the measured peak) keeps headroom against
+    viewpoint drift and overflow degrades gracefully to dense-correct.
     Returns None (compaction off) below 64 blocks, where the dense
     kernel is already cheap and the sort/gather overhead is pure loss."""
     if n_rays < 64 * block_r:
         return None
-    blocks = -(-n_rays // (16 * block_r))
+    blocks = -(-n_rays // (20 * block_r))
     return max(blocks, 16) * block_r
+
+
+def _admission_boxes(aabb: jnp.ndarray) -> jnp.ndarray:
+    """Supercluster boxes for the compact wrapper's admission test:
+    the kernel entry's own sentinel-aware _SUPER-way unions, further
+    unioned in _SUPER groups until at most 256 boxes remain.  The
+    admission slab matrix is (S, R), and a 1.3M-tri mesh (config 7) has
+    700+ superclusters — coarsening keeps the prepass ~2 ms at 1080p.
+    CONSERVATIVE by construction: a union contains its members, so no
+    ray that could reach a triangle is ever rejected; only the
+    front-to-back rank gets coarser."""
+    n_clusters = aabb.shape[0]
+    c_pad = ((n_clusters + _SUPER - 1) // _SUPER) * _SUPER
+    if c_pad > n_clusters:
+        sent = jnp.full((c_pad - n_clusters, 8), 3.0e38,
+                        jnp.float32).at[:, 6:].set(0.0)
+        aabb = jnp.concatenate([aabb, sent])
+    boxes = _union_boxes8(aabb.reshape(-1, _SUPER, 8))
+    while boxes.shape[0] > 256:
+        s_pad = (-boxes.shape[0]) % _SUPER
+        if s_pad:
+            sent8 = jnp.full((s_pad, 8), 3.0e38,
+                             jnp.float32).at[:, 6:].set(0.0)
+            boxes = jnp.concatenate([boxes, sent8])
+        boxes = _union_boxes8(boxes.reshape(-1, _SUPER, 8))
+    return boxes
 
 
 def intersect_triangles_bvh_compact(
@@ -1632,16 +1662,7 @@ def intersect_triangles_bvh_compact(
         lanes = _compact_shade(o, d, res[0], res[1], res[2])
         return (res[0], Vec3(lanes[0], lanes[1], lanes[2]), lanes[3])
 
-    # -- supercluster boxes: same construction as the kernel entry ----
-    n_clusters = aabb.shape[0]
-    c_pad = ((n_clusters + _SUPER - 1) // _SUPER) * _SUPER
-    if c_pad > n_clusters:
-        sent = jnp.full((c_pad - n_clusters, 8), 3.0e38,
-                        jnp.float32).at[:, 6:].set(0.0)
-        aabb_pad = jnp.concatenate([aabb, sent])
-    else:
-        aabb_pad = aabb
-    super_aabb = _union_boxes8(aabb_pad.reshape(-1, _SUPER, 8))
+    super_aabb = _admission_boxes(aabb)
     n_super = super_aabb.shape[0]
 
     # -- front-to-back rank of each super (same heuristic as `order`) --

@@ -131,8 +131,14 @@ function val(id) { return document.getElementById(id).value; }
 function err(m) { document.getElementById('error').textContent = m || ''; }
 
 async function edit(cmd) {
-  const r = await fetch('/edit', {method:'POST', body:JSON.stringify(cmd)});
+  // ship the current selection: the SERVER repairs it against
+  // structural index shifts (delete/reorder/duplicate —
+  // editor.repair_selection, unit-tested Python) and the response
+  // carries the result; the client just adopts it
+  const r = await fetch('/edit', {method:'POST',
+    body:JSON.stringify({...cmd, sel})});
   const j = await r.json();
+  if (j.ok && 'sel' in j) sel = j.sel;
   err(j.ok ? '' : j.error);
   await refresh();
   return j;
@@ -176,14 +182,9 @@ function renderShapes() {
                               index:s.index});
     const del = document.createElement('button');
     del.textContent = 'x';
-    del.onclick = () => { if (sel && sel.kind === s.kind) {
-                            // deleting shifts every higher same-kind
-                            // index down — repair or clear the selection
-                            if (sel.index === s.index) sel = null;
-                            else if (sel.index > s.index) sel.index -= 1;
-                          }
-                          edit({op:'remove_shape', kind:s.kind,
-                                index:s.index}); };
+    // the delete's selection shift comes back repaired from the server
+    del.onclick = () => edit({op:'remove_shape', kind:s.kind,
+                              index:s.index});
     // drag source for list reorder (interface.cpp:203-216)
     row.draggable = true;
     row.ondragstart = ev => ev.dataTransfer.setData(
@@ -197,20 +198,13 @@ function renderShapes() {
       let src = null;
       try { src = JSON.parse(data).shape; } catch (e) {}
       if (src && src.kind === s.kind) {
-        const j = await edit({op:'reorder_shape', kind:src.kind,
-                              index:src.index, to:s.index});
         // A move shifts the index of EVERY same-kind shape between the
-        // source and destination rows, not just the dragged one — repair
-        // whichever selection the shift touched so later gizmo drags /
-        // nudges / material drops keep editing the same shape.
-        if (j.ok && sel && sel.kind === src.kind) {
-          if (sel.index === src.index) sel.index = j.index;
-          else if (src.index < sel.index && sel.index <= j.index)
-            sel.index -= 1;
-          else if (j.index <= sel.index && sel.index < src.index)
-            sel.index += 1;
-          renderShapes(); renderSelected();
-        }
+        // source and destination rows, not just the dragged one — the
+        // server repairs whichever selection the shift touched (via
+        // edit()'s sel round trip) so later gizmo drags / nudges /
+        // material drops keep editing the same shape.
+        await edit({op:'reorder_shape', kind:src.kind,
+                    index:src.index, to:s.index});
         return;
       }
       const mi = parseInt(data);
@@ -405,69 +399,47 @@ function renderCamera() {
 }
 
 // -- selection picking + drag manipulation (the gizmo analog) ------------
-// World -> image-pixel projection with the same camera basis and NDC
-// math as /pick; returns [px, py, depth] or null behind the camera.
-function project(p) {
-  const c = S && S.camera; if (!c) return null;
-  const cy = Math.cos(c.yaw), sy = Math.sin(c.yaw);
-  const cp = Math.cos(c.pitch), sp = Math.sin(c.pitch);
-  const right = [cy, 0, -sy], up = [sy*sp, cp, cy*sp],
-        fwd = [-sy*cp, sp, -cy*cp];
-  const r = [p[0]-c.position[0], p[1]-c.position[1], p[2]-c.position[2]];
-  const d = v => r[0]*v[0] + r[1]*v[1] + r[2]*v[2];
-  const x = d(right), y = d(up), z = d(fwd);
-  if (z < 0.05) return null;
-  const fs = Math.tan(c.fov * Math.PI / 360);   // fov is degrees here
-  return [((x / (z * fs * (W/H))) + 1) / 2 * W,
-          (1 - (y / (z * fs))) / 2 * H, z];
-}
-
-function selCenter() {
-  const s = findSel();
-  if (!s) return null;
-  return s.position || s.translation;
-}
-
-// Axis handles: 3 screen-space world-axis segments from the selected
-// shape (tiny-gizmo's translate/rotate/scale handles reduced to lines —
-// interface.cpp:13-104 picks the handle set per shape kind).
+// Depth-correct 3-D handles: the SERVER generates world-space handle
+// geometry (arrows / rings per mode, gizmo.py — tiny-gizmo lathes the
+// same sets, tiny-gizmo.cpp:309-327), hit-tests mouse rays against it
+// with exact occlusion, and ships projected per-vertex polylines +
+// occlusion masks in every /input response; the client only draws.
 const AXIS_COLOR = {x:'#e55', y:'#5d5', z:'#59f'};
-function axisSegments() {
-  const c0 = selCenter();
-  if (!c0) return null;
-  const a = project(c0);
-  if (!a) return null;
-  const segs = {};
-  for (const [ax, dir] of [['x',[1,0,0]], ['y',[0,1,0]], ['z',[0,0,1]]]) {
-    const b = project([c0[0]+dir[0], c0[1]+dir[1], c0[2]+dir[2]]);
-    if (b) segs[ax] = [a[0], a[1], b[0], b[1]];
-  }
-  return segs;
+let gizmoData = null;     // last /input response's "gizmo" overlay
+
+function gizmoSel() {
+  return sel ? {kind: sel.kind, index: sel.index, mode: dragMode} : null;
 }
 
 function renderGizmo() {
   const svg = document.getElementById('gizmo');
-  const segs = axisSegments();
-  if (!segs) { svg.innerHTML = ''; return; }
+  if (!gizmoData || !sel) { svg.innerHTML = ''; return; }
   let h = '';
   for (const ax of ['x','y','z']) {
-    if (!segs[ax]) continue;
-    const [x1,y1,x2,y2] = segs[ax];
-    const wdt = dragAxis === ax ? 3 : 1.5;
-    h += `<line x1=${x1} y1=${y1} x2=${x2} y2=${y2} ` +
-         `stroke="${AXIS_COLOR[ax]}" stroke-width=${wdt} />` +
-         `<text x=${x2} y=${y2} fill="${AXIS_COLOR[ax]}" ` +
-         `font-size=11>${ax}</text>`;
+    const a = gizmoData[ax];
+    if (!a) continue;
+    const wdt = dragAxis === ax ? 3.5 : 2;
+    // consecutive visible vertices form segments; spans the scene
+    // occludes draw dimmed (hidden-line style), like tiny-gizmo's
+    // depth-tested handle rendering
+    let lastPt = null;
+    for (let i = 0; i < a.pts.length; i++) {
+      const p = a.pts[i];
+      if (p && lastPt) {
+        const dim = a.occ[i] || a.occ[i-1];
+        h += `<line x1=${lastPt[0]} y1=${lastPt[1]} x2=${p[0]} ` +
+             `y2=${p[1]} stroke="${AXIS_COLOR[ax]}" ` +
+             `stroke-width=${dim ? 1 : wdt} ` +
+             `stroke-opacity=${dim ? 0.3 : 1} ` +
+             (dim ? 'stroke-dasharray="3 3" ' : '') + '/>';
+      }
+      lastPt = p;
+    }
+    const lbl = a.pts[a.pts.length - 1] || a.pts[0];
+    if (lbl) h += `<text x=${lbl[0]+3} y=${lbl[1]-3} ` +
+                  `fill="${AXIS_COLOR[ax]}" font-size=11>${ax}</text>`;
   }
   svg.innerHTML = h;
-}
-
-function distToSeg(px, py, x1, y1, x2, y2) {
-  const vx = x2-x1, vy = y2-y1, len2 = vx*vx + vy*vy;
-  const t = len2 ? Math.max(0, Math.min(1,
-    ((px-x1)*vx + (py-y1)*vy) / len2)) : 0;
-  const qx = x1 + t*vx - px, qy = y1 + t*vy - py;
-  return Math.sqrt(qx*qx + qy*qy);
 }
 
 img.ondblclick = () => img.requestPointerLock();
@@ -480,22 +452,18 @@ img.onmousedown = async e => {
   const r = img.getBoundingClientRect();
   const x = (e.clientX - r.left) * W / r.width;
   const y = (e.clientY - r.top) * H / r.height;
-  // clicking an axis handle starts an axis-constrained drag of the
-  // current selection (checked before /pick so handles win over
-  // geometry under them, like tiny-gizmo's hit priority)
-  const segs = sel && axisSegments();
-  if (segs) {
-    for (const ax of ['x','y','z']) {
-      if (segs[ax] && distToSeg(x, y, ...segs[ax]) < 8) {
-        dragAxis = ax; dragging = true;
-        lastDrag = [e.clientX, e.clientY];
-        updateModeHud(); renderGizmo();
-        return;
-      }
-    }
-  }
+  // ONE round trip resolves both the handle and the shape: the server
+  // raycasts the 3-D handle geometry first (visible-handle-wins hit
+  // priority with real occlusion, tiny-gizmo.cpp:115-134), so a
+  // grabbed handle starts an axis-constrained drag of the selection
   const hit = await (await fetch('/pick', {method:'POST',
-    body:JSON.stringify({x, y})})).json();
+    body:JSON.stringify({x, y, gizmo: gizmoSel()})})).json();
+  if (hit.gizmo_axis && sel && pressActive) {
+    dragAxis = hit.gizmo_axis; dragging = true;
+    lastDrag = [e.clientX, e.clientY];
+    updateModeHud(); renderGizmo();
+    return;
+  }
   const same = hit.shape && sel && hit.shape.kind === sel.kind &&
                hit.shape.index === sel.index;
   if (hit.shape) sel = hit.shape;
@@ -577,7 +545,7 @@ let serverErrShown = false;
 async function tick() {
   const now = performance.now(); const dt = (now - last) / 1000; last = now;
   const body = {keys: Object.keys(keys).filter(k => keys[k]),
-                dx, dy, wheel, dt};
+                dx, dy, wheel, dt, gizmo: gizmoSel()};
   dx = 0; dy = 0; wheel = 0;
   try {
     const r = await fetch('/input', {method:'POST',
@@ -598,6 +566,7 @@ async function tick() {
         renderCamera();
       }
     }
+    gizmoData = s.gizmo || null;
     renderGizmo();   // track camera motion
     // show live server errors; CLEAR the line when the server recovers
     // (a later successful compile resets loop.error) — but never clobber
@@ -669,7 +638,18 @@ class RenderLoop:
         self._refit_at = time.monotonic() if refit else None
 
     def handle_edit(self, cmd: dict) -> dict:
-        """Apply one editor/loop command under the loop lock."""
+        """Apply one editor/loop command under the loop lock.  When the
+        client ships its current selection ("sel"), the response carries
+        the repaired one (editor.repair_selection) so structural edits
+        never leave the browser pointing at a shifted index."""
+        out = self._handle_edit(cmd)
+        if "sel" in cmd and out.get("ok"):
+            from .editor import repair_selection
+            out = dict(out)
+            out["sel"] = repair_selection(cmd.get("sel"), cmd, out)
+        return out
+
+    def _handle_edit(self, cmd: dict) -> dict:
         with self._lock:
             op = cmd.get("op")
             if op == "rerender":           # interface.cpp:381-383
@@ -868,24 +848,117 @@ class RenderLoop:
                            "fov": degrees(self.camera.fov)}
             return d
 
-    def pick(self, x: float, y: float):
-        """Shape under pixel (x, y): build the primary ray with the same
-        NDC math as generate_rays (render.cl:498-516) and ask the editor."""
-        if self.editor is None:
+    def _pixel_ray(self, x: float, y: float):
+        """World-space primary ray through pixel (x, y), with the same
+        NDC math as generate_rays (render.cl:498-516).  Caller holds
+        the lock."""
+        o = self.renderer.options
+        cam = self.camera
+        fov_scale = tan(cam.fov / 2.0)
+        aspect = o.width / o.height
+        sx = (2.0 * (x + 0.5) / o.width - 1.0) * aspect * fov_scale
+        sy = (1.0 - 2.0 * (y + 0.5) / o.height) * fov_scale
+        cy_, sy_ = cos(cam.yaw), sin(cam.yaw)
+        cp, sp = cos(cam.pitch), sin(cam.pitch)
+        return cam.position, (cy_ * sx + sy_ * sp * sy - sy_ * cp,
+                              cp * sy + sp,
+                              -sy_ * sx + cy_ * sp * sy - cy_ * cp)
+
+    def _shape_center(self, kind, index):
+        desc = [s for s in self.editor.describe()["shapes"]
+                if s["kind"] == kind and s["index"] == index]
+        if not desc:
             return None
+        return desc[0].get("position") or desc[0].get("translation")
+
+    def pick(self, x: float, y: float, gizmo_sel: dict = None) -> dict:
+        """Shape (or gizmo handle) under pixel (x, y).
+
+        `gizmo_sel` = {"kind", "index", "mode"} describes the current
+        selection's handle set; when given, the ray is hit-tested
+        against the WORLD-SPACE 3-D handle geometry first (gizmo.py —
+        tiny-gizmo raycasts its real handle meshes the same way,
+        tiny-gizmo.cpp:115-134) with exact occlusion: the handle wins
+        only where its hit is nearer than the scene's own nearest hit
+        along this very ray, so a handle behind a wall (or inside the
+        selected shape) cannot be grabbed.  Returns
+        {"shape": ..., "gizmo_axis": "x"|"y"|"z"|None}."""
+        if self.editor is None:
+            return {"shape": None, "gizmo_axis": None}
+        from . import gizmo as _gz
         with self._lock:
-            o = self.renderer.options
+            origin, d = self._pixel_ray(x, y)
+            t_scene, shape = self.editor.pick_with_t(origin, d)
+            if gizmo_sel:
+                center = self._shape_center(gizmo_sel.get("kind"),
+                                            gizmo_sel.get("index"))
+                if center is not None:
+                    s = _gz.handle_scale(center, origin, self.camera.fov)
+                    hit = _gz.ray_hit(origin, d, center,
+                                      gizmo_sel.get("mode", "translate"),
+                                      s)
+                    if hit is not None and hit[1] <= t_scene + 1e-9:
+                        return {"shape": shape, "gizmo_axis": hit[0]}
+            return {"shape": shape, "gizmo_axis": None}
+
+    def gizmo_overlay(self, gizmo_sel: dict):
+        """Projected 3-D handle polylines for the SVG overlay: per axis
+        a vertex chain [[px, py], ...] (null where the vertex is behind
+        the near plane) and a parallel occlusion mask (true where the
+        scene blocks the camera's view of that vertex — the client dims
+        those spans, the analog of tiny-gizmo rendering its handles
+        with real depth)."""
+        if self.editor is None or not gizmo_sel:
+            return None
+        from . import gizmo as _gz
+        import numpy as np
+        with self._lock:
+            center = self._shape_center(gizmo_sel.get("kind"),
+                                        gizmo_sel.get("index"))
+            if center is None:
+                return None
             cam = self.camera
-            fov_scale = tan(cam.fov / 2.0)
-            aspect = o.width / o.height
-            sx = (2.0 * (x + 0.5) / o.width - 1.0) * aspect * fov_scale
-            sy = (1.0 - 2.0 * (y + 0.5) / o.height) * fov_scale
+            o = self.renderer.options
+            s = _gz.handle_scale(center, cam.position, cam.fov)
+            polys = _gz.polylines(center,
+                                  gizmo_sel.get("mode", "translate"), s)
             cy_, sy_ = cos(cam.yaw), sin(cam.yaw)
             cp, sp = cos(cam.pitch), sin(cam.pitch)
-            d = (cy_ * sx + sy_ * sp * sy - sy_ * cp,
-                 cp * sy + sp,
-                 -sy_ * sx + cy_ * sp * sy - cy_ * cp)
-            return self.editor.pick(cam.position, d)
+            right = np.array([cy_, 0.0, -sy_])
+            up = np.array([sy_ * sp, cp, cy_ * sp])
+            fwd = np.array([-sy_ * cp, sp, -cy_ * cp])
+            fs = tan(cam.fov / 2.0)
+            aspect = o.width / o.height
+            cpos = np.asarray(cam.position, np.float64)
+            out = {}
+            for ax, pts in polys.items():
+                rel = pts - cpos[None, :]
+                px = rel @ right
+                py = rel @ up
+                pz = rel @ fwd
+                dist = np.linalg.norm(rel, axis=1)
+                vis = pz > 0.05
+                # exact inverse of _pixel_ray's NDC mapping INCLUDING
+                # its half-pixel center offset: a click on a drawn
+                # vertex must rebuild the ray through that very vertex
+                sxs = (px / np.maximum(pz, 1e-9) / (fs * aspect) + 1.0) \
+                    / 2.0 * o.width - 0.5
+                sys_ = (1.0 - py / np.maximum(pz, 1e-9) / fs) / 2.0 \
+                    * o.height - 0.5
+                occ = []
+                for i in range(pts.shape[0]):
+                    if not vis[i]:
+                        occ.append(True)
+                        continue
+                    t = self.editor.pick_t(cpos, rel[i])
+                    occ.append(bool(t + 1e-6 < dist[i]))
+                out[ax] = {
+                    "pts": [[round(float(sxs[i]), 1),
+                             round(float(sys_[i]), 1)]
+                            if vis[i] else None
+                            for i in range(pts.shape[0])],
+                    "occ": occ}
+            return out
 
     # -- input (mirrors main.cpp:161-240) ---------------------------------
     def apply_input(self, keys, dx, dy, wheel, dt):
@@ -1036,15 +1109,24 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                     return
                 _, frame, steps, ms, fps = loop.snapshot()
                 cam = loop.camera
+                gz = data.get("gizmo") or None
+                overlay = None
+                if isinstance(gz, dict):
+                    try:
+                        # depth-correct handle polylines, re-projected
+                        # against the live camera every tick (flying
+                        # must not desync the overlay)
+                        overlay = loop.gizmo_overlay(gz)
+                    except (TypeError, ValueError, KeyError):
+                        overlay = None
                 self._send_json(
                     {"frame": frame, "steps": steps, "ms": ms, "fps": fps,
-                     # the gizmo overlay re-projects against the live
-                     # camera every tick (flying must not desync it)
                      "camera": {"position": [float(v) for v in
                                              cam.position],
                                 "yaw": float(cam.yaw),
                                 "pitch": float(cam.pitch),
                                 "fov": degrees(cam.fov)},
+                     "gizmo": overlay,
                      "error": repr(loop.error) if loop.error else None})
             elif self.path == "/edit":
                 try:
@@ -1060,14 +1142,18 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                                      "error": f"bad payload: {e!r}"})
             elif self.path == "/pick":
                 try:
+                    gz = data.get("gizmo") or None
+                    if gz is not None and not isinstance(gz, dict):
+                        raise ValueError("gizmo must be an object")
                     hit = loop.pick(float(data.get("x", 0)),
-                                    float(data.get("y", 0)))
-                except (TypeError, ValueError) as e:
+                                    float(data.get("y", 0)),
+                                    gizmo_sel=gz)
+                except (TypeError, ValueError, KeyError) as e:
                     self._send_json({"shape": None,
                                      "error": f"bad payload: {e!r}"},
                                     code=400)
                     return
-                self._send_json({"shape": hit})
+                self._send_json(hit)
             else:
                 self._send(404, b"not found", "text/plain")
 

@@ -162,3 +162,42 @@ def test_pick(ed):
     assert ed.pick((4, 0, 0), (0, 0, -1)) == {"kind": "model", "index": 0}
     # into empty sky
     assert ed.pick((0, 0, 0), (0, 1, 0)) is None
+
+
+def test_repair_selection_rules():
+    """The selection-index arithmetic for structural edits — previously
+    client-side JS (two shipped bugs, round-3 VERDICT), now the pure
+    server function the browser adopts verbatim."""
+    from simple_raytracer_tpu.editor import repair_selection as rs
+    sel = {"kind": "sphere", "index": 3}
+    rm = {"op": "remove_shape", "kind": "sphere"}
+    # delete below / at / above the selection
+    assert rs(sel, dict(rm, index=1), {}) == {"kind": "sphere", "index": 2}
+    assert rs(sel, dict(rm, index=3), {}) is None
+    assert rs(sel, dict(rm, index=4), {}) == sel
+    # other kind never touches it
+    assert rs(sel, {"op": "remove_shape", "kind": "plane", "index": 0},
+              {}) == sel
+    ro = {"op": "reorder_shape", "kind": "sphere"}
+    # the dragged shape follows its landing index
+    assert rs(sel, dict(ro, index=3, to=0), {"index": 0}) == {
+        "kind": "sphere", "index": 0}
+    # shapes between source and destination shift toward the source
+    assert rs(sel, dict(ro, index=1, to=3), {"index": 3}) == {
+        "kind": "sphere", "index": 2}
+    assert rs(sel, dict(ro, index=5, to=2), {"index": 2}) == {
+        "kind": "sphere", "index": 4}
+    # outside the moved span: untouched
+    assert rs(sel, dict(ro, index=5, to=4), {"index": 4}) == sel
+    # duplicate inserted at/below the selection shifts it up; clamped
+    # 'to' comes from the RESULT, not the request
+    assert rs(sel, {"op": "duplicate_shape", "kind": "sphere", "index": 1},
+              {"index": 2}) == {"kind": "sphere", "index": 4}
+    assert rs(sel, {"op": "duplicate_shape", "kind": "sphere", "index": 4},
+              {"index": 5}) == sel
+    # junk selections resolve to None instead of raising
+    assert rs("zap", dict(rm, index=0), {}) is None
+    assert rs({"kind": "sphere", "index": "x"}, dict(rm, index=0), {}) is None
+    # non-structural ops pass the selection through
+    assert rs(sel, {"op": "set_shape_material", "kind": "sphere",
+                    "index": 3, "material": 1}, {}) == sel
