@@ -80,6 +80,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="run only the jobs for this scene name")
     args = ap.parse_args()
 
     from simple_raytracer_tpu.models.showcase import (showcase_model,
@@ -93,16 +95,18 @@ def main():
             # reduced rows kept for round-to-round continuity
             ("red_green", showcase_red_green, 96, 54, args.steps),
             ("spheres", showcase_spheres, 96, 54, args.steps),
-            # FULL showcase resolution (the vectorized oracle streams
-            # ~1M lanes; the mesh scene stays reduced — its oracle still
-            # visits every triangle per bounce)
+            # FULL showcase resolution for all three scenes — the mesh
+            # scene became tractable in round 4 when the oracle gained
+            # chunk-level AABB gating + live-lane compaction (~15x on
+            # this scene: >480 -> 33 s/step at 960x540)
             ("spheres", showcase_spheres, 960, 540, args.steps),
             ("red_green", showcase_red_green, 960, 540,
              max(4, args.steps // 2)),
-            ("model", lambda: showcase_model(subdivisions=1), 192, 108,
-             max(4, args.steps // 2)),
+            ("model", showcase_model, 960, 540, max(4, args.steps // 2)),
         ]
 
+    if args.only:
+        jobs = [j for j in jobs if j[0] == args.only]
     rows = []
     for name, builder, w, h, steps in jobs:
         rows.append(run_scene(name, builder, w, h, steps))

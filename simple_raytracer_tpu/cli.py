@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write accumulation checkpoint (.npz)")
     p.add_argument("--load-state", default=None,
                    help="resume accumulation checkpoint (.npz)")
+    p.add_argument("--warm", action="store_true",
+                   help="compile this invocation's static render shape "
+                        "into the persistent compilation cache and exit "
+                        "without rendering — run once per machine (or in "
+                        "a deploy step) and every later process gets a "
+                        "seconds-scale first frame instead of the "
+                        "minutes-scale XLA cold compile")
     p.add_argument("--metrics", action="store_true",
                    help="print per-run throughput metrics JSON")
     p.add_argument("--profile-dir", default=None,
@@ -137,6 +144,24 @@ def main(argv=None) -> int:
     if args.all_devices:
         print(f"srt-render: sharding over {r.num_devices} device(s)",
               file=sys.stderr)
+
+    if args.warm:
+        # the cache-warmer verb (the analog of the reference's sub-second
+        # clBuildProgram at launch, tracer.cpp:21-26, which a multi-minute
+        # XLA megakernel compile cannot match cold): compile the step +
+        # image-fetch for THIS flag set, let the persistent cache absorb
+        # the artifacts, and exit.  scripts/ttff.py measures the result:
+        # warm first-frame ~10 s vs minutes cold.
+        import jax as _jax
+        t0 = _time.perf_counter()
+        r.step(camera, time=1)
+        r.image()
+        dt = _time.perf_counter() - t0
+        print(f"warmed {options.width}x{options.height} "
+              f"s{options.num_samples} b{options.num_bounces} in "
+              f"{dt:.1f}s (persistent cache: "
+              f"{_jax.config.jax_compilation_cache_dir})", file=sys.stderr)
+        return 0
 
     if args.load_state:
         data = np.load(args.load_state)

@@ -419,8 +419,27 @@ class OracleSceneVec(OracleScene):
             self.tri_v = np.stack([v for v, _, _ in self.tris])  # (T,3,3)
             self.tri_n = np.stack([n for _, n, _ in self.tris])
             self.tri_m = np.array([m for _, _, m in self.tris], np.int32)
+            # inflated float64 bounds of the whole triangle set for the
+            # conservative per-ray slab gate in closest_vec
+            flat = self.tri_v.reshape(-1, 3).astype(np.float64)
+            self.tri_lo = flat.min(axis=0) - 1e-4
+            self.tri_hi = flat.max(axis=0) + 1e-4
+            # per-tri-chunk bounds for the inner (ray, chunk) gate
+            # (mesh-ordered triangles are spatially coherent, so chunk
+            # boxes are tight); CH_T must match closest_vec's
+            T = self.tri_v.shape[0]
+            nc = -(-T // self.CH_T)
+            self.chunk_lo = np.full((nc, 3), np.inf)
+            self.chunk_hi = np.full((nc, 3), -np.inf)
+            for ci in range(nc):
+                seg = flat[ci * self.CH_T * 3:(ci + 1) * self.CH_T * 3]
+                self.chunk_lo[ci] = seg.min(axis=0) - 1e-4
+                self.chunk_hi[ci] = seg.max(axis=0) + 1e-4
         else:
             self.tri_v = np.zeros((0, 3, 3), F)
+
+    CH_T = 128      # triangles per Moller-Trumbore chunk
+    CH_R = 65536    # rays per chunk
 
     def closest_vec(self, o, d):
         """Vector form of closest(): strict-< first-wins updates in the
@@ -466,36 +485,79 @@ class OracleSceneVec(OracleScene):
             # for the single winning triangle per ray, with the same
             # (R,)-shaped f32 expressions the serial loop used.
             T = self.tri_v.shape[0]
-            CH_T, CH_R = 128, 65536
-            R_all = o.shape[0]
-            for r0 in range(0, R_all if T else 0, CH_R):
-                rs = slice(r0, min(r0 + CH_R, R_all))
+            CH_T, CH_R = self.CH_T, self.CH_R
+            if T:
+                # Conservative whole-set AABB gate (float64, inflated
+                # bounds): a ray whose slab interval misses the box
+                # bounding EVERY triangle, or opens beyond its current
+                # best t, cannot produce a triangle win — the same
+                # per-ray AABB skip the reference applies per model
+                # (render.cl:316-331).  Elementwise per ray, so results
+                # for admitted rays are bit-identical; secondaries that
+                # head for the sky skip the whole Moller-Trumbore loop.
+                o64 = o.astype(np.float64)
+                d64 = d.astype(np.float64)
+                inv = np.divide(1.0, d64, out=np.full_like(d64, np.inf),
+                                where=d64 != 0)
+                t1 = (self.tri_lo[None, :] - o64) * inv
+                t2 = (self.tri_hi[None, :] - o64) * inv
+                tn = np.where(np.isnan(t1), -np.inf, np.fmin(t1, t2))
+                tf = np.where(np.isnan(t2), np.inf, np.fmax(t1, t2))
+                near = tn.max(axis=1)
+                far = tf.min(axis=1)
+                adm = np.nonzero((np.maximum(near, 0.0) <= far)
+                                 & (near <= best_t.astype(np.float64)))[0]
+            else:
+                adm = np.zeros(0, np.int64)
+            for r0 in range(0, adm.size, CH_R):
+                rs = adm[r0:r0 + CH_R]
                 oc, dc = o[rs], d[rs]
                 bt = best_t[rs]
+                # per-(ray, tri-chunk) slab gate against the chunk's
+                # inflated f64 box (same conservativeness argument as
+                # the whole-set gate above): Moller-Trumbore runs only
+                # on the rays whose interval touches this chunk
+                oc64 = oc.astype(np.float64)
+                dc64 = dc.astype(np.float64)
+                invc = np.divide(1.0, dc64,
+                                 out=np.full_like(dc64, np.inf),
+                                 where=dc64 != 0)
                 win_t = np.full(oc.shape[0], np.inf, F)
                 win_j = np.zeros(oc.shape[0], np.int64)
                 for c0 in range(0, T, CH_T):
+                    ci = c0 // CH_T
+                    t1 = (self.chunk_lo[ci][None, :] - oc64) * invc
+                    t2 = (self.chunk_hi[ci][None, :] - oc64) * invc
+                    tn = np.where(np.isnan(t1), -np.inf, np.fmin(t1, t2))
+                    tf = np.where(np.isnan(t2), np.inf, np.fmax(t1, t2))
+                    near = tn.max(axis=1)
+                    far = tf.min(axis=1)
+                    si = np.nonzero((np.maximum(near, 0.0) <= far)
+                                    & (near <= bt.astype(np.float64)))[0]
+                    if si.size == 0:
+                        continue
                     cs = slice(c0, min(c0 + CH_T, T))
                     v0 = self.tri_v[cs, 0][None]           # (1, Tc, 3)
                     e1 = (self.tri_v[cs, 1] - self.tri_v[cs, 0])[None]
                     e2 = (self.tri_v[cs, 2] - self.tri_v[cs, 0])[None]
-                    db = dc[:, None, :]                    # (Rc, 1, 3)
+                    db = dc[si][:, None, :]                # (Rs, 1, 3)
                     h = cross3(db, e2)
                     a = dot3(e1, h)
                     f = F(1.0) / a
-                    s = oc[:, None, :] - v0
+                    s = oc[si][:, None, :] - v0
                     u = f * dot3(s, h)
                     q = cross3(s, e1)
                     v = f * dot3(db, q)
                     t = f * dot3(e2, q)
                     valid = ((a != 0) & (u >= 0) & (u <= 1) & (v >= 0)
-                             & (u + v <= 1) & (t > 0) & (t < bt[:, None]))
+                             & (u + v <= 1) & (t > 0)
+                             & (t < bt[si][:, None]))
                     t = np.where(valid, t, np.inf).astype(F)
                     j = np.argmin(t, axis=1)               # first minimum
                     tc = t[np.arange(t.shape[0]), j]
-                    upd = tc < win_t                       # earlier chunk
-                    win_t = np.where(upd, tc, win_t)       # wins ties
-                    win_j = np.where(upd, j + c0, win_j)
+                    upd = tc < win_t[si]                   # earlier chunk
+                    win_t[si] = np.where(upd, tc, win_t[si])  # wins ties
+                    win_j[si] = np.where(upd, j + c0, win_j[si])
                 tri_hit = np.isfinite(win_t) & (win_t < bt)
                 if not tri_hit.any():
                     continue
@@ -567,7 +629,27 @@ def trace_vec(osc, o, d, seed, num_bounces, show_normals=False):
     alive = np.ones(R, bool)
     with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
         for i in range(num_bounces):
-            hit, p, n, front, mi = osc.closest_vec(o, d)
+            if i and not alive.all():
+                # intersect only the live lanes: closest_vec is
+                # elementwise per ray, so live-lane results are
+                # bit-identical; dead lanes get inert zeros, which every
+                # downstream consumer masks with `alive` (their seeds
+                # advance identically either way — draws are
+                # value-independent elementwise hashes)
+                live = np.nonzero(alive)[0]
+                hs, ps, ns, fs, ms = osc.closest_vec(o[live], d[live])
+                hit = np.zeros(R, bool)
+                hit[live] = hs
+                p = np.zeros((R, 3), F)
+                p[live] = ps
+                n = np.zeros((R, 3), F)
+                n[live] = ns
+                front = np.zeros(R, bool)
+                front[live] = fs
+                mi = np.zeros(R, np.int32)
+                mi[live] = ms
+            else:
+                hit, p, n, front, mi = osc.closest_vec(o, d)
             if show_normals:
                 out = (n * F(0.5) + F(0.5)).astype(F)
                 sky = osc.sky_color_vec(d)

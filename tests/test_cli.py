@@ -92,3 +92,17 @@ def test_cli_missing_scene_file_is_friendly(capsys):
     rc = main(["--scene", "/nonexistent/scene.json", "--out", "/tmp/x.png"])
     assert rc == 2
     assert "not found" in capsys.readouterr().err
+
+
+def test_cli_warm_compiles_and_writes_nothing(tmp_path, capsys):
+    """--warm (the cache-warmer verb, round-3 VERDICT cold-start item)
+    compiles the configured shape into the persistent cache, reports
+    what it warmed, and exits WITHOUT rendering or writing the output
+    file."""
+    out = str(tmp_path / "never.png")
+    _render(_common(out, ["--warm"]))
+    import os
+    assert not os.path.exists(out)
+    err = capsys.readouterr().err
+    assert f"warmed {W}x{H} s1 b2" in err
+    assert "persistent cache:" in err
