@@ -22,6 +22,7 @@ LABELS = {
     4: "glass mesh, 1280 tris (config 4)",
     5: "two meshes, 4096 tris (config 5)",
     6: "organic sculpt, 82K tris (config 6)",
+    7: "mega sculpt, 1.31M tris — HBM streaming BVH (config 7)",
 }
 
 
