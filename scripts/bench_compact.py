@@ -4,7 +4,8 @@ Rows: SRT_BVH_COMPACT=0 (round-3 dense behavior), auto (1/16 cap),
 and a few explicit caps around it.  Each row re-clears the kernel's
 jit cache so the trace-time env knob actually applies.
 
-Usage: python scripts/bench_compact.py [iters]   (on the TPU)
+Usage: python scripts/bench_compact.py [iters] [rows] [config]
+(on the TPU; rows comma-separated from {unset, 0, auto, <cap>, cap:<n>})
 """
 import os
 import sys
@@ -39,5 +40,6 @@ def run(label, knob, config=6):
 if __name__ == "__main__":
     rows = sys.argv[2].split(",") if len(sys.argv) > 2 else [
         "unset", "0", "auto"]
+    cfg = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     for knob in rows:
-        run(f"compact={knob}", knob)
+        run(f"compact={knob}", knob, config=cfg)
