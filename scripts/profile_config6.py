@@ -8,6 +8,8 @@ Pieces timed (all device-chained, steady state):
   prepass        the XLA supercluster visit prepass alone (same shapes)
 
 Usage: python scripts/profile_config6.py [iters]
+  SRT_PROFILE_CONFIG=7 decomposes config 7 (1.31M-tri mega-mesh) with
+  the same pieces — the presets share the HBM streaming path.
 """
 import os
 import sys
@@ -40,7 +42,8 @@ def chain_time(f, *args, iters=ITERS):
 
 
 def main():
-    scene, camera, _ = CONFIGS[6]()
+    scene, camera, _ = CONFIGS[int(os.environ.get("SRT_PROFILE_CONFIG",
+                                                  "6"))]()
     ds = scene.build()
     cl = ds.triangles.clusters
     n_tris = int(np.asarray(ds.triangles.active).sum())
@@ -63,9 +66,12 @@ def main():
     alive = jnp.ones((n,), jnp.float32)
     t_init, _ = intersect_planes(o, d, ds.planes)
 
-    f_bvh = jax.jit(lambda o, d, al, ti: bk.intersect_triangles_bvh(
-        o, d, al, ti, cl.aabb, cl.table_t, with_attrs=True, hbm_table=True))
-    dt = chain_time(f_bvh, o, d, alive, t_init)
+    # aabb/table must travel as ARGUMENTS: closure-capturing them bakes
+    # the (possibly multi-100MB) table into the HLO as a constant, which
+    # the axon remote-compile endpoint rejects (HTTP 413) at config-7 size
+    f_bvh = jax.jit(lambda o, d, al, ti, aabb, tab: bk.intersect_triangles_bvh(
+        o, d, al, ti, aabb, tab, with_attrs=True, hbm_table=True))
+    dt = chain_time(f_bvh, o, d, alive, t_init, cl.aabb, cl.table_t)
     print(f"bvh_primary    {dt * 1e3:8.2f} ms", flush=True)
 
     # incoherent worst case: shuffle directions across rays so neighboring
@@ -73,7 +79,8 @@ def main():
     rng = np.random.default_rng(3)
     perm = rng.permutation(n)
     d_sh = Vec3(d.x[perm], d.y[perm], d.z[perm])
-    dt = chain_time(f_bvh, o, d_sh, alive, jnp.full((n,), jnp.inf))
+    dt = chain_time(f_bvh, o, d_sh, alive, jnp.full((n,), jnp.inf),
+                    cl.aabb, cl.table_t)
     print(f"bvh_incoh      {dt * 1e3:8.2f} ms", flush=True)
 
     # prepass alone (supercluster boxes built exactly like the caller does)
