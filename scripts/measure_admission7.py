@@ -24,7 +24,9 @@ from simple_raytracer_tpu.engine import Renderer, RenderOptions
 from simple_raytracer_tpu.models.presets import CONFIGS
 from simple_raytracer_tpu.ops.bsdf import gather_materials, sample_material
 from simple_raytracer_tpu.ops.camera import camera_rotation, generate_rays
-from simple_raytracer_tpu.ops.intersect import closest_hit
+from simple_raytracer_tpu.ops.intersect import (closest_hit,
+                                                intersect_planes,
+                                                intersect_spheres)
 from simple_raytracer_tpu.ops.pallas.bvh_kernel import (_admission_boxes,
                                                         compact_cap_auto)
 from simple_raytracer_tpu.ops.vec import Vec3, where as vwhere
@@ -76,17 +78,39 @@ def main():
     alive = jnp.ones((n_rays,), bool)
     mats = ds.materials
 
+    @jax.jit
+    def t_seed_fn(o, d):
+        """The production far bound: closest_hit seeds the triangle
+        slab test with the best sphere/plane t (render.cl:319
+        semantics), so clusters behind a known hit don't admit."""
+        t = jnp.full((n_rays,), jnp.inf)
+        if ds.spheres.radius.shape[0] > 0:
+            t = jnp.minimum(t, intersect_spheres(o, d, ds.spheres)[0])
+        if ds.planes.material.shape[0] > 0:
+            t = jnp.minimum(t, intersect_planes(o, d, ds.planes)[0])
+        return t
+
     for bounce in range(BOUNCES):
         hit = closest_hit(ds, o, d, alive=alive)
-        # admission uses t from OTHER primitives as the far bound, but for
-        # a profile the no-bound count is the conservative (upper) one
+        # capped = the EXACT production admission (far bound seeded with
+        # min sphere/plane t, as closest_hit does); uncapped (far=inf)
+        # is the conservative upper bound kept for comparison
+        n_capped = int(admit_count(boxes, o, d, alive, t_seed_fn(o, d)))
         n_admit = int(admit_count(boxes, o, d, alive,
                                   jnp.full((n_rays,), jnp.inf)))
         live = int(jnp.sum(alive))
-        print(f"bounce {bounce}: live={live:>9,} admit={n_admit:>9,} "
-              f"({n_admit / n_rays:6.2%})  "
-              f"{'DENSE-FALLBACK' if n_admit > cap else 'compact ok'}",
-              flush=True)
+        if bounce == 0:
+            # trace_rays peels bounce 0 dense unconditionally (coherent
+            # camera rays lose under compaction) — the cap verdict does
+            # not apply
+            verdict = "dense by policy (peeled)"
+        else:
+            verdict = ("DENSE-FALLBACK" if n_capped > cap
+                       else "compact ok")
+        print(f"bounce {bounce}: live={live:>9,} "
+              f"admit(t_init)={n_capped:>9,} ({n_capped / n_rays:6.2%}) "
+              f"admit(inf)={n_admit:>9,} ({n_admit / n_rays:6.2%})  "
+              f"{verdict}", flush=True)
         # advance rays exactly like trace_rays: sample the BSDF at hits
         m = gather_materials(mats, hit.material)
         ms = sample_material(hit.position, hit.normal, hit.front, d, m, seed)

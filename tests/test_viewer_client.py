@@ -26,14 +26,57 @@ HTML = PAGE[:PAGE.index("<script>")]
 
 
 def _strip_strings(js: str) -> str:
-    """Remove string/template literals and comments so bracket counting
-    and identifier scans don't trip on quoted text."""
+    """Remove string/template literals, comments, and (heuristically)
+    regex literals so bracket counting and identifier scans don't trip
+    on quoted text.  Regex literals are recognized only where a regex
+    can start (after =, (, comma, :, ;, !, &&, ||, ?, return) — the
+    standard division-vs-regex heuristic; a regex in a position this
+    misses would make test_script_brackets_balanced false-fail, which
+    is diagnosable from this docstring."""
     js = re.sub(r"//[^\n]*", "", js)
     js = re.sub(r"/\*.*?\*/", "", js, flags=re.S)
     js = re.sub(r"'(?:[^'\\\n]|\\.)*'", "''", js)
     js = re.sub(r'"(?:[^"\\\n]|\\.)*"', '""', js)
     js = re.sub(r"`(?:[^`\\]|\\.)*`", "``", js)
+    js = re.sub(r"(?<=[=(,:;!&|?])\s*/(?:[^/\\\n\[]|\\.|"
+                r"\[(?:[^\]\\\n]|\\.)*\])+/[a-z]*", " ''", js)
+    js = re.sub(r"\breturn\s+/(?:[^/\\\n\[]|\\.|"
+                r"\[(?:[^\]\\\n]|\\.)*\])+/[a-z]*", "return ''", js)
     return js
+
+
+def _blank_strings(js: str) -> str:
+    """Like _strip_strings but LENGTH-PRESERVING (literals/comments are
+    replaced by spaces), so indices found in the blanked text slice the
+    raw text correctly — used for brace-matching handler bodies."""
+    def blank(m):
+        return " " * len(m.group(0))
+    js = re.sub(r"//[^\n]*", blank, js)
+    js = re.sub(r"/\*.*?\*/", blank, js, flags=re.S)
+    js = re.sub(r"'(?:[^'\\\n]|\\.)*'", blank, js)
+    js = re.sub(r'"(?:[^"\\\n]|\\.)*"', blank, js)
+    js = re.sub(r"`(?:[^`\\]|\\.)*`", blank, js)
+    return js
+
+
+def _handler_body(name: str) -> str:
+    """Raw text of the `{...}` statement block assigned to `name = ...`
+    (arrow or function), found by brace matching on the string-blanked
+    script so braces inside literals don't miscount."""
+    blanked = _blank_strings(SCRIPT)
+    m = re.search(rf"{re.escape(name)}\s*=", blanked)
+    assert m, f"{name} handler not found"
+    start = blanked.index("{", m.end())
+    depth, i = 0, start
+    while i < len(blanked):
+        if blanked[i] == "{":
+            depth += 1
+        elif blanked[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return SCRIPT[start:i + 1]
+        i += 1
+    raise AssertionError(f"unbalanced braces in {name} handler")
 
 
 def test_page_template_keys():
@@ -96,6 +139,7 @@ def test_element_ids_resolve():
     # regex by construction; the static ones are the regression surface
     static_ids = set(re.findall(r"\bid=([\w-]+)", HTML))
     static_ids |= set(re.findall(r"\bid=\"([\w-]+)\"", HTML))
+    static_ids |= set(re.findall(r"\bid='([\w-]+)'", HTML))
     created = set(re.findall(r"\.id\s*=\s*'([\w-]+)'", SCRIPT))
     missing = wanted - static_ids - created
     assert not missing, f"client references missing element ids: {missing}"
@@ -140,21 +184,42 @@ def test_drag_edit_payload_matches_handle_edit():
             f"server drag path no longer reads {field!r}"
 
 
-@pytest.mark.parametrize("handler,keys", [
-    ("onmousedown", ["pressActive = true"]),
-    ("onmouseup", ["pressActive = false", "dragging = false"]),
-])
-def test_drag_lifecycle_guards_present(handler, keys):
+def test_drag_lifecycle_guards_structural():
     """The fast-click race guard (round-3 fix, commit 788bf10): /pick is
     awaited, so mouseup can land mid-await; the client must track the
-    physical button (pressActive) and only engage the drag if it is
-    still held. These string pins make deleting the guard a test
-    failure instead of a silently resurrected sticky-drag bug."""
-    m = re.search(rf"{handler}\s*=\s*(?:async\s*)?(?:\([^)]*\)|\w+)\s*=>",
-                  SCRIPT)
-    assert m, f"{handler} handler not found"
-    for k in keys:
-        assert k in SCRIPT, f"{handler} lost its guard: {k!r}"
-    # the engage site itself must consult pressActive
-    assert re.search(r"if\s*\(.*same && pressActive.*\)", SCRIPT) or \
-        "same && pressActive" in SCRIPT
+    physical button state and only engage the drag if it is still held.
+
+    Checked STRUCTURALLY (no variable-name pins, so a rename doesn't
+    break the test while deleting the guard still does):
+      * some variable is set true in onmousedown BEFORE the awaited
+        /pick and cleared in onmouseup — the physical-button tracker,
+      * every drag-engage site (an `if` whose body sets the drag flag)
+        after the await consults that variable in its condition,
+      * onmouseup also drops the drag flag itself."""
+    down = _handler_body("img.onmousedown")
+    up = _handler_body("document.onmouseup")
+    assert "await" in down, "onmousedown no longer awaits /pick"
+    pre_await = down[:down.index("await")]
+    post_await = down[down.index("await"):]
+
+    # drag flag = variable(s) set true only AFTER the await and cleared
+    # on mouseup; guard = set true BEFORE the await and cleared on mouseup
+    cleared = set(re.findall(r"(\w+)\s*=\s*false\b", up))
+    guards = set(re.findall(r"(\w+)\s*=\s*true\b", pre_await)) & cleared
+    drag_flags = set(re.findall(r"(\w+)\s*=\s*true\b", post_await)) \
+        & cleared - guards
+    assert guards, "no button-state guard set before the /pick await " \
+                   "and cleared in onmouseup"
+    assert drag_flags, "no drag flag set after the await and cleared " \
+                       "in onmouseup"
+
+    # every engage site's condition must read a guard variable
+    engages = re.findall(
+        r"if\s*\(([^)]*)\)\s*(?:\{[^{}]*|[^;{]*)"
+        rf"(?:{'|'.join(drag_flags)})\s*=\s*true",
+        post_await)
+    assert engages, "no drag-engage site found after the /pick await"
+    for cond in engages:
+        assert any(re.search(rf"\b{g}\b", cond) for g in guards), \
+            f"drag engaged without consulting the button guard: " \
+            f"if ({cond.strip()})"
