@@ -89,7 +89,7 @@ def main():
     device = _device_string()
     if device in ("timeout",) or device.startswith("error"):
         print(json.dumps({
-            "metric": "min Mrays/sec/chip over all configs (4-bounce, 1080p)",
+            "metric": "min Mrays/sec/chip over BASELINE configs 1-6 (4-bounce, 1080p)",
             "value": 0.0, "unit": "Mrays/s", "vs_baseline": 0.0,
             "extra": {"error": f"device unavailable: {device}"}}))
         return 0
@@ -113,7 +113,7 @@ def main():
     spp_1080p = flagship["mrays_per_second"] * 1e6 / (1920 * 1080 * 4)
 
     result = {
-        "metric": "min Mrays/sec/chip over all configs (4-bounce, 1080p)",
+        "metric": "min Mrays/sec/chip over BASELINE configs 1-6 (4-bounce, 1080p)",
         "value": mrays,
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 100.0, 3),

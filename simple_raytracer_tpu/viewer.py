@@ -104,6 +104,10 @@ _PAGE = """<!doctype html>
  <div id=sky></div>
  <h3>Render</h3>
  <div id=render></div>
+ <h3>Frame time</h3>
+ <svg id=framehist width=230 height=48
+      style="background:#14141c;display:block"></svg>
+ <div id=framestats style="color:#776"></div>
  <h3>Camera</h3>
  <div id=camera></div>
 </div>
@@ -539,6 +543,25 @@ document.onvisibilitychange = () => {
 // accepting_input the same way)
 img.onwheel = e => { wheel += Math.sign(e.deltaY); e.preventDefault(); };
 
+// frame-time history sparkline: the PlotLines window of the reference
+// (interface.cpp:486-510) — server sends the last ~120 step times (ms),
+// the polyline scales to their min..max like ImGui's autoscale
+function renderFrameHist(hist, avgMs) {
+  if (!hist || hist.length < 2) return;
+  const svg = document.getElementById('framehist');
+  const w = svg.width.baseVal.value, h = svg.height.baseVal.value;
+  const lo = Math.min(...hist), hi = Math.max(...hist);
+  const span = (hi - lo) || 1;
+  const pts = hist.map((v, i) =>
+    `${(i / (hist.length - 1) * w).toFixed(1)},` +
+    `${(h - 3 - (v - lo) / span * (h - 6)).toFixed(1)}`).join(' ');
+  svg.innerHTML = `<polyline points="${pts}" fill="none" ` +
+                  `stroke="#8ac" stroke-width="1"/>`;
+  document.getElementById('framestats').textContent =
+    `min ${lo.toFixed(1)}  avg ${avgMs.toFixed(1)}  ` +
+    `max ${hi.toFixed(1)} ms (${hist.length} steps)`;
+}
+
 let last = performance.now();
 let lastCamJson = '';
 let serverErrShown = false;
@@ -553,6 +576,7 @@ async function tick() {
     const s = await r.json();
     document.getElementById('stats').textContent =
       `steps ${s.steps}  ${s.ms.toFixed(1)} ms/step  ${s.fps.toFixed(1)} fps`;
+    renderFrameHist(s.hist, s.ms);
     img.src = '/frame.png?t=' + s.frame;
     if (S && s.camera) {
       S.camera = s.camera;
@@ -597,7 +621,9 @@ class RenderLoop:
         self.look_speed = look_speed
         self.fps_limit = fps_limit  # 60 like the reference (main.cpp:153-155)
         self.screenshot_path = screenshot_path
-        self.timer = FrameTimer()
+        # 120-step ring so the frame-time plot has the same history the
+        # reference's PlotLines window shows (interface.cpp:486-510)
+        self.timer = FrameTimer(window=120)
         self._lock = threading.Lock()
         self._dirty = True
         self._frame_id = 0
@@ -989,8 +1015,9 @@ class RenderLoop:
 
     def snapshot(self):
         with self._lock:
+            hist = [round(t * 1e3, 2) for t in self.timer.times]
             return (self._png, self._frame_id, self.renderer.num_steps,
-                    self.timer.avg * 1e3, self.timer.fps)
+                    self.timer.avg * 1e3, self.timer.fps, hist)
 
     def _run(self):
         try:
@@ -1078,9 +1105,10 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                 else:
                     self._send(200, png, "image/png")
             elif self.path.startswith("/state"):
-                _, frame, steps, ms, fps = loop.snapshot()
+                _, frame, steps, ms, fps, hist = loop.snapshot()
                 self._send_json(
                     {"frame": frame, "steps": steps, "ms": ms, "fps": fps,
+                     "hist": hist,
                      "resets": loop.reset_count,
                      "screenshots": loop.screenshot_count,
                      "error": repr(loop.error) if loop.error else None})
@@ -1107,7 +1135,7 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                                      "error": f"bad payload: {e!r}"},
                                     code=400)
                     return
-                _, frame, steps, ms, fps = loop.snapshot()
+                _, frame, steps, ms, fps, hist = loop.snapshot()
                 cam = loop.camera
                 gz = data.get("gizmo") or None
                 overlay = None
@@ -1121,6 +1149,7 @@ def make_handler(loop: RenderLoop, width: int, height: int):
                         overlay = None
                 self._send_json(
                     {"frame": frame, "steps": steps, "ms": ms, "fps": fps,
+                     "hist": hist,
                      "camera": {"position": [float(v) for v in
                                              cam.position],
                                 "yaw": float(cam.yaw),

@@ -1,4 +1,4 @@
-"""Golden-image regression tests for the five BASELINE configs.
+"""Golden-image regression tests for BASELINE configs 1-6.
 
 SURVEY §4: the RNG is a counter-free hash of (pixel id, sample, time), so
 fixing time/resolution/samples/bounces makes the whole render a pure
@@ -18,7 +18,12 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
 STEPS = 2
 TIME0 = 1000
 
-SIZES = {1: (64, 64), 2: (96, 54), 3: (96, 54), 4: (96, 54), 5: (96, 54)}
+SIZES = {1: (64, 64), 2: (96, 54), 3: (96, 54), 4: (96, 54), 5: (96, 54),
+         # config 6 (82K-tri sculpt): kept small — on CPU it renders
+         # through the dense jnp path (so this golden IS the
+         # tri_backend='jnp' cross-check), on TPU through the
+         # production BVH/compact path against the same file
+         6: (64, 36)}
 # goldens must not depend on the environment: config 3's "auto" skybox
 # would load /root/reference's texture whenever that checkout exists, so
 # the golden build pins the gradient sky explicitly
@@ -38,7 +43,7 @@ def render_config(n):
     return np.asarray(r.canvas, np.float32)
 
 
-@pytest.mark.parametrize("n", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 6])
 def test_golden(n):
     path = os.path.join(GOLDEN_DIR, f"config{n}.npz")
     canvas = render_config(n)

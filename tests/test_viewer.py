@@ -83,8 +83,17 @@ def test_input_resets_accumulation(server):
 def test_state_endpoint(server):
     srv, loop = server
     s = json.loads(_get(srv, "/state").read())
-    assert {"frame", "steps", "ms", "fps", "resets", "error"} <= set(s)
+    assert {"frame", "steps", "ms", "fps", "hist", "resets",
+            "error"} <= set(s)
     assert s["error"] is None
+    # frame-time history (interface.cpp:486-510 analog): a list of ms
+    # floats, capped at the FrameTimer ring size, consistent with `ms`
+    assert isinstance(s["hist"], list)
+    assert len(s["hist"]) <= loop.timer.window
+    if s["hist"]:
+        assert all(isinstance(v, (int, float)) and v >= 0
+                   for v in s["hist"])
+        assert abs(sum(s["hist"]) / len(s["hist"]) - s["ms"]) < 1.0
     import urllib.error
     with pytest.raises(urllib.error.HTTPError):
         _get(srv, "/nonexistent")

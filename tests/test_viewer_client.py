@@ -152,7 +152,7 @@ def test_client_reads_match_server_json():
     import inspect
     server_src = inspect.getsource(viewer_mod)
     # /input response fields the tick loop consumes
-    for key in ["frame", "steps", "ms", "fps", "camera", "gizmo"]:
+    for key in ["frame", "steps", "ms", "fps", "hist", "camera", "gizmo"]:
         assert re.search(rf"[\"']{key}[\"']\s*:", server_src), key
         assert re.search(rf"\bs\.{key}\b", SCRIPT), \
             f"tick() no longer reads s.{key} — update this test"
