@@ -677,8 +677,8 @@ def _mt_update_sub_mxu(lt, rays, t_scr, idx_scr, attr_scr, t_sub, s,
 
 def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
                 sup, subb, out, t_scr, idx_scr, attr_scr, t_sub, lst, buf,
-                sems, *, block_l, n_clusters, with_attrs, n_sub,
-                packed, two_level, sub_rows, n_boxes, packets):
+                sems, wbuf, *, block_l, n_clusters, with_attrs, n_sub,
+                packed, two_level, sub_rows, n_boxes, packets, n_slots):
     """HBM-table variant for meshes too large for VMEM residence.
 
     THREE-level culling, each level finer than the last:
@@ -740,12 +740,23 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
 
     iota16 = jax.lax.broadcasted_iota(jnp.int32, (_SUPER, 1), 0)
 
+    # profiling-only ablations (scripts/profile_compact7.py), read at
+    # TRACE time: "subword" replaces the per-visit re-slab word with
+    # all-ones so its cost drops out of the per-visit total (every
+    # sub-block then runs MT — the gate only ever skips work, so results
+    # are identical); "nowork" empties the per-visit body entirely
+    # (WRONG results; isolates list-build + loop skeleton + DMA issue).
+    import os as _os
+    _ablate = _os.environ.get("SRT_BVH_ABLATE", "")
+
     def _sub_word(c):
         """Slab cluster c against every ray in the (SB, 128) layout under
         the live per-sub-block t bound; one i32 word whose bit s gates
         sub-block s's Moller-Trumbore.  Box coords come out of the VMEM
         aabb as one-hot masked reductions (dynamic sublane reads must be
         group-aligned; a (16, 1) reduce to scalar is ~free)."""
+        if "subword" in _ablate:
+            return jnp.int32((1 << n_sub) - 1)
         g0 = (c // _SUPER) * _SUPER
         tile = aabb[pl.ds(pl.multiple_of(g0, _SUPER), _SUPER), :]
         onehot = jnp.where(iota16 == c % _SUPER, 1.0, 0.0)
@@ -852,28 +863,55 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
 
     @pl.when(n > 0)
     def _():
-        word0 = _sub_word(lst[0, 0])
+        # n_slots-deep DMA pipeline over the visit list.  The measured
+        # per-visit cost on a 1.31M-tri mesh's secondary bounces is
+        # ~1.7 us at depth 2 (scripts/profile_compact7.py) against ~12 ns
+        # of HBM bandwidth per packed tile — i.e. almost pure copy
+        # LATENCY: the incoherent-bounce blocks gate most sub-blocks off,
+        # leaving too little Moller-Trumbore math for a double buffer to
+        # hide the fetch behind.  Keeping n_slots copies in flight
+        # amortizes the latency 1/(n_slots-1).  The issue-time slab word
+        # for entry j is computed n_slots-1 entries ahead, so it sees the
+        # live t as of the last processed tile — STALER than depth 2's
+        # one-ahead word, which only weakens the skip (a conservative
+        # superset of sub-blocks runs MT); commits stay (t, lowest-gidx)
+        # mins, so results are bit-identical at any depth.
+        def prefill(k, _):
+            w = jax.lax.cond(k < n, lambda: _sub_word(lst[0, k]),
+                             lambda: jnp.int32(0))
+            wbuf[0, k] = w
 
-        @pl.when(word0 != 0)
-        def _():
-            dma(0, 0).start()
+            if "nodma" not in _ablate:
+                @pl.when(w != 0)
+                def _():
+                    dma(k, k).start()
+            return 0
 
-        def process(j, prev_word):
-            # issue DMA for j+1 only if its box still beats the live t
-            # (t has tightened through MT of tiles < j); skipping here is
-            # safe because the MT gate below reuses THIS word
-            next_word = jax.lax.cond(j + 1 < n,
-                                     lambda: _sub_word(lst[0, j + 1]),
-                                     lambda: jnp.int32(0))
+        jax.lax.fori_loop(0, n_slots - 1, prefill, 0)
 
-            @pl.when(next_word != 0)
-            def _():
-                dma(j + 1, (j + 1) % 2).start()
+        def process(j, _):
+            # issue the DMA n_slots-1 ahead; its slot ((j-1) % n_slots)
+            # was freed by the previous iteration's wait+MT
+            jq = j + n_slots - 1
+            w_iss = jax.lax.cond(jq < n,
+                                 lambda: _sub_word(lst[0, jq]),
+                                 lambda: jnp.int32(0))
+            wbuf[0, jq % n_slots] = w_iss
+
+            if "nodma" not in _ablate:
+                @pl.when(w_iss != 0)
+                def _():
+                    dma(jq, jq % n_slots).start()
+
+            prev_word = wbuf[0, j % n_slots]
 
             @pl.when(prev_word != 0)
             def _():
-                dma(j, j % 2).wait()
-                raw = buf[j % 2]
+                if "nodma" not in _ablate:
+                    dma(j, j % n_slots).wait()
+                if "nowork" in _ablate:
+                    return
+                raw = buf[j % n_slots]
                 plucker = _resolve_plucker(packed, sub_rows)
                 if plucker:
                     lts = [_plucker_lt(raw[p * _TROWS:(p + 1) * _TROWS])
@@ -915,9 +953,9 @@ def _kernel_hbm(visit, count, order, rays, table_hbm, rays_sub, aabb,
                                 _mt_update_sub(tile, rays, t_scr, idx_scr,
                                                attr_scr, t_sub, s,
                                                with_attrs)
-            return next_word
+            return 0
 
-        jax.lax.fori_loop(0, n, process, word0)
+        jax.lax.fori_loop(0, n, process, 0)
 
     no_win = idx_scr[...] < 0
     t_out = jnp.where(no_win, jnp.float32(jnp.inf), t_scr[...])
@@ -1464,21 +1502,23 @@ def intersect_triangles_bvh(o: Vec3, d: Vec3, alive: jnp.ndarray,
         else:
             packed = table_tr is not None
             table_op = table_tr if packed else table_t
+            n_slots = _resolve_dma_slots()
             kernel = functools.partial(_kernel_hbm, block_l=block_l,
                                        n_clusters=c_pad,
                                        with_attrs=with_attrs, n_sub=n_sub,
                                        packed=packed, two_level=two_level,
                                        sub_rows=sub_rows, n_boxes=sub_div,
-                                       packets=packets)
+                                       packets=packets, n_slots=n_slots)
             extra_specs = [
                 pl.BlockSpec(memory_space=pl.ANY),     # table in HBM
             ] + common_specs
             scratch += [
                 pltpu.SMEM((1, c_pad), jnp.int32),        # visit list
-                pltpu.VMEM((2, _TROWS * packets, 128) if packed
-                           else (2, block_l, table_t.shape[1]),
-                           jnp.float32),                  # double buffer
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((n_slots, _TROWS * packets, 128) if packed
+                           else (n_slots, block_l, table_t.shape[1]),
+                           jnp.float32),               # DMA pipeline ring
+                pltpu.SemaphoreType.DMA((n_slots,)),
+                pltpu.SMEM((1, n_slots), jnp.int32),   # issue-word ring
             ]
         extra_in.append(subb_in)
     else:
@@ -1558,6 +1598,55 @@ def compact_cap_auto(n_rays: int, block_r: int = 1536) -> Optional[int]:
     return max(blocks, 16) * block_r
 
 
+def _resolve_dma_slots() -> int:
+    """Depth of the HBM streaming kernel's DMA pipeline (number of
+    in-flight cluster-tile copies).  Default 8: the per-visit cost of
+    incoherent secondary bounces is almost pure copy latency (~1.7 us
+    at depth 2 vs ~12 ns of bandwidth per packed tile,
+    scripts/profile_compact7.py on the 1.31M-tri config 7), so depth
+    amortizes it nearly linearly until the issue-time slab word's
+    staleness starts re-admitting sub-blocks.  VMEM cost is
+    slots x 12 KB per packet.  SRT_BVH_DMA_SLOTS overrides for sweeps;
+    results are bit-identical at any depth >= 2."""
+    import os
+    v = int(os.environ.get("SRT_BVH_DMA_SLOTS", "8"))
+    if v < 2:
+        raise ValueError(f"SRT_BVH_DMA_SLOTS must be >= 2, got {v}")
+    return v
+
+
+def _resolve_sort_key(sort_key, aabb, table_t, table_tr, hbm_table,
+                      packed_vmem, bucket_bits: int) -> str:
+    """Compaction sort-key policy: "super" (first-admitted-super rank —
+    round 4's key) or "morton" (origin Morton cell).  None = auto =
+    "super": measured better in BOTH table-residency regimes — on the
+    VMEM-resident config 6 by the round-4 sweep (scripts/
+    bench_compact.py), and on the HBM-streamed 1.31M-tri config 7 by
+    scripts/profile_compact7.py (real bounce-1 rays: 63K total cluster
+    visits and 110 ms vs Morton's 87K and 137 ms — the first-admitted-
+    box key groups rays by where their TRAVERSAL starts, which predicts
+    the visit set better than where the rays originate, and its bucket
+    order is front-to-back so the live-t gate skips more).  "morton"
+    stays available for sweeps (SRT_BVH_COMPACT_KEY or the sort_key
+    arg); it falls back to "super" when fewer than 6 bucket bits remain
+    (a 3-bit Morton cell cannot beat 44 supers).  The residency args
+    are accepted so a future residency-dependent policy keeps this
+    signature."""
+    import os
+    del table_t, table_tr, hbm_table, packed_vmem, aabb  # see docstring
+    env = os.environ.get("SRT_BVH_COMPACT_KEY")
+    if env:
+        if env not in ("super", "morton", "auto"):
+            raise ValueError(
+                f"SRT_BVH_COMPACT_KEY must be super/morton/auto: {env!r}")
+        sort_key = None if env == "auto" else env
+    if sort_key is None:
+        sort_key = "super"
+    if sort_key == "morton" and bucket_bits < 6:
+        sort_key = "super"
+    return sort_key
+
+
 def _admission_boxes(aabb: jnp.ndarray) -> jnp.ndarray:
     """Supercluster boxes for the compact wrapper's admission test:
     the kernel entry's own sentinel-aware _SUPER-way unions, further
@@ -1584,6 +1673,106 @@ def _admission_boxes(aabb: jnp.ndarray) -> jnp.ndarray:
     return boxes
 
 
+def _compact_prefix(o: Vec3, d: Vec3, alive: jnp.ndarray,
+                    t_init: jnp.ndarray, aabb: jnp.ndarray, cap: int,
+                    key_kind: str):
+    """The compact wrapper's XLA front half: admission against the
+    coarsened supercluster boxes + ONE single-operand coherence sort.
+    Returns (prefix (cap,) i32 ray indices — admitting rays first in
+    coherence-key order, padded with non-admitting rays — and the
+    admitting-ray count that gates the wrapper's lax.cond).
+
+    Sorting one packed (bucket << idx_bits | index) array measures 2.5x
+    cheaper than sort_key_val at 2M rays (scripts/bench_compact_parts.py)
+    and the in-key index makes the order stable (pixel-tile coherence
+    inside each bucket) for free.  The bucket field gets whatever bits
+    the ray index leaves free; keys beyond its clamp share the last real
+    bucket (coherence loss only, never correctness).
+
+    key_kind "super": front-to-back rank of the first admitted
+    supercluster + direction octant (round 4's key).  "morton": origin
+    Morton cell + octant — secondary rays originate ON geometry, so
+    quantizing origins over the mesh bounds packs each kernel ray block
+    into a tight spatial cell (the 44 coarse admission boxes of a
+    1.31M-tri sculpt each span ~256 clusters; a Morton cell spans a
+    handful).  Both are pure coherence heuristics: any permutation is
+    result-identical (commits are (t, lowest-gidx) mins and the scatter
+    goes through `prefix`)."""
+    n_rays = o.x.shape[0]
+    super_aabb = _admission_boxes(aabb)
+    n_super = super_aabb.shape[0]
+
+    # -- front-to-back rank of each super (same heuristic as `order`) --
+    w = alive
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    origin = jnp.stack([jnp.sum(o.x * w), jnp.sum(o.y * w),
+                        jnp.sum(o.z * w)]) / wsum
+    centers = (super_aabb[:, 0:3] + super_aabb[:, 3:6]) * 0.5
+    d2 = jnp.sum((centers - origin[None, :]) ** 2, axis=1)
+    rank = jnp.zeros((n_super,), jnp.int32).at[jnp.argsort(d2)].set(
+        jnp.arange(n_super, dtype=jnp.int32))
+
+    # -- per-ray admission + first-admitted-super rank, (S, R) --------
+    ox, oy, oz = o.x[None], o.y[None], o.z[None]
+    inx, iny, inz = 1.0 / d.x[None], 1.0 / d.y[None], 1.0 / d.z[None]
+    live = (alive > 0.0)[None]
+    col = lambda j: super_aabb[:, j][:, None]
+    t1x = (col(0) - ox) * inx
+    t2x = (col(3) - ox) * inx
+    t1y = (col(1) - oy) * iny
+    t2y = (col(4) - oy) * iny
+    t1z = (col(2) - oz) * inz
+    t2z = (col(5) - oz) * inz
+    near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                   jnp.minimum(t1y, t2y)),
+                       jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
+    far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                  jnp.maximum(t1y, t2y)),
+                      jnp.minimum(jnp.maximum(t1z, t2z), t_init[None]))
+    maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & live
+    first = jnp.min(jnp.where(maybe, rank[:, None], n_super), axis=0)
+    count = jnp.sum(first < n_super, dtype=jnp.int32)
+
+    idx_bits = max((n_rays - 1).bit_length(), 1)
+    bucket_bits = 31 - idx_bits
+    n_buckets = 1 << bucket_bits           # last bucket = non-admitting
+    octant = ((d.x < 0) * 4 + (d.y < 0) * 2 + (d.z < 0)).astype(jnp.int32)
+    if key_kind == "morton":
+        mb = bucket_bits - 3                       # bits left for space
+        nbits = [(mb + 2) // 3, (mb + 1) // 3, mb // 3]  # per axis x,y,z
+        real = super_aabb[:, 0] < 1.0e37
+        lo = jnp.min(jnp.where(real[:, None], super_aabb[:, 0:3],
+                               3.0e38), axis=0)
+        hi = jnp.max(jnp.where(real[:, None], super_aabb[:, 3:6],
+                               -3.0e38), axis=0)
+        span = jnp.maximum(hi - lo, 1.0e-20)
+
+        def quant(v, axis, bits):
+            cells = jnp.float32(1 << bits)
+            q = ((v - lo[axis]) / span[axis] * cells).astype(jnp.int32)
+            return jnp.clip(q, 0, (1 << bits) - 1)
+
+        qs = [quant(o.x, 0, nbits[0]), quant(o.y, 1, nbits[1]),
+              quant(o.z, 2, nbits[2])]
+        morton = jnp.zeros_like(octant)
+        out_pos = mb
+        for level in range(max(nbits)):            # interleave MSB-first
+            for a in range(3):
+                if level < nbits[a]:
+                    out_pos -= 1
+                    bit = (qs[a] >> (nbits[a] - 1 - level)) & 1
+                    morton = morton | (bit << out_pos)
+        bucket = jnp.minimum(morton * 8 + octant, n_buckets - 2)
+    else:
+        bucket = jnp.minimum(first * 8 + octant, n_buckets - 2)
+    bucket = jnp.where(first < n_super, bucket, n_buckets - 1)
+    iota = jnp.arange(n_rays, dtype=jnp.int32)
+    packed_key = jnp.left_shift(bucket, idx_bits) | iota
+    (skey,) = jax.lax.sort((packed_key,))
+    prefix = jax.lax.slice_in_dim(skey, 0, cap) & ((1 << idx_bits) - 1)
+    return prefix, count
+
+
 def intersect_triangles_bvh_compact(
         o: Vec3, d: Vec3, alive: jnp.ndarray, t_init: jnp.ndarray,
         aabb: jnp.ndarray, table_t: jnp.ndarray, cap: int,
@@ -1593,7 +1782,7 @@ def intersect_triangles_bvh_compact(
         prepass_level: str = "group",
         packed_vmem: Optional[bool] = None,
         sub_aabb: Optional[jnp.ndarray] = None, sub_div: int = 8,
-        shaded: bool = False):
+        shaded: bool = False, sort_key: Optional[str] = None):
     """intersect_triangles_bvh behind a ray compaction: only rays that
     can possibly intersect the mesh enter the kernel, densely packed.
 
@@ -1662,58 +1851,11 @@ def intersect_triangles_bvh_compact(
         lanes = _compact_shade(o, d, res[0], res[1], res[2])
         return (res[0], Vec3(lanes[0], lanes[1], lanes[2]), lanes[3])
 
-    super_aabb = _admission_boxes(aabb)
-    n_super = super_aabb.shape[0]
-
-    # -- front-to-back rank of each super (same heuristic as `order`) --
-    w = alive
-    wsum = jnp.maximum(jnp.sum(w), 1.0)
-    origin = jnp.stack([jnp.sum(o.x * w), jnp.sum(o.y * w),
-                        jnp.sum(o.z * w)]) / wsum
-    centers = (super_aabb[:, 0:3] + super_aabb[:, 3:6]) * 0.5
-    d2 = jnp.sum((centers - origin[None, :]) ** 2, axis=1)
-    rank = jnp.zeros((n_super,), jnp.int32).at[jnp.argsort(d2)].set(
-        jnp.arange(n_super, dtype=jnp.int32))
-
-    # -- per-ray admission + first-admitted-super rank, (S, R) --------
-    ox, oy, oz = o.x[None], o.y[None], o.z[None]
-    inx, iny, inz = 1.0 / d.x[None], 1.0 / d.y[None], 1.0 / d.z[None]
-    live = (alive > 0.0)[None]
-    col = lambda j: super_aabb[:, j][:, None]
-    t1x = (col(0) - ox) * inx
-    t2x = (col(3) - ox) * inx
-    t1y = (col(1) - oy) * iny
-    t2y = (col(4) - oy) * iny
-    t1z = (col(2) - oz) * inz
-    t2z = (col(5) - oz) * inz
-    near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
-                                   jnp.minimum(t1y, t2y)),
-                       jnp.maximum(jnp.minimum(t1z, t2z), 0.0))
-    far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
-                                  jnp.maximum(t1y, t2y)),
-                      jnp.minimum(jnp.maximum(t1z, t2z), t_init[None]))
-    maybe = jnp.logical_not((near > far) | (near >= 1.0e38)) & live
-    first = jnp.min(jnp.where(maybe, rank[:, None], n_super), axis=0)
-    count = jnp.sum(first < n_super, dtype=jnp.int32)
-
-    # -- one single-operand sort: (first-super rank, direction octant)
-    # packed ABOVE the ray index in one i32 — sorting one array measures
-    # 2.5x cheaper than sort_key_val at 2M rays (scripts/
-    # bench_compact_parts.py), and the in-key index makes the order
-    # stable (pixel-tile coherence inside each bucket) for free.  The
-    # bucket field gets whatever bits the ray index leaves free; ranks
-    # beyond its clamp share the last real bucket (coherence loss only,
-    # never correctness).
-    idx_bits = max((n_rays - 1).bit_length(), 1)
-    bucket_bits = 31 - idx_bits
-    n_buckets = 1 << bucket_bits           # last bucket = non-admitting
-    octant = ((d.x < 0) * 4 + (d.y < 0) * 2 + (d.z < 0)).astype(jnp.int32)
-    bucket = jnp.minimum(first * 8 + octant, n_buckets - 2)
-    bucket = jnp.where(first < n_super, bucket, n_buckets - 1)
-    iota = jnp.arange(n_rays, dtype=jnp.int32)
-    packed_key = jnp.left_shift(bucket, idx_bits) | iota
-    (skey,) = jax.lax.sort((packed_key,))
-    prefix = jax.lax.slice_in_dim(skey, 0, cap) & ((1 << idx_bits) - 1)
+    key_kind = _resolve_sort_key(
+        sort_key, aabb, table_t, table_tr, hbm_table, packed_vmem,
+        31 - max((n_rays - 1).bit_length(), 1))
+    prefix, count = _compact_prefix(o, d, alive, t_init, aabb, cap,
+                                    key_kind)
 
     kw = dict(block_r=block_r, interpret=interpret,
               with_attrs=with_attrs or shaded,

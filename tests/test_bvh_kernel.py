@@ -701,9 +701,10 @@ def test_scene_build_sub_aabb_bounds_slots():
             np.testing.assert_allclose(box[3:6], hi, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.parametrize("sort_key", ["super", "morton"])
 @pytest.mark.parametrize("with_attrs", [False, True])
 @pytest.mark.parametrize("scenario", ["compacted", "overflow", "mixed"])
-def test_compact_wrapper_matches_dense(with_attrs, scenario):
+def test_compact_wrapper_matches_dense(with_attrs, scenario, sort_key):
     """intersect_triangles_bvh_compact is bit-identical to the dense
     kernel in BOTH cond branches: "compacted" aims most rays away from
     the mesh (admitting count fits the cap -> the sparse fast path
@@ -744,7 +745,8 @@ def test_compact_wrapper_matches_dense(with_attrs, scenario):
     dense = intersect_triangles_bvh(o, d, alive, t_init, cl.aabb,
                                     cl.table_t, **kw)
     comp = intersect_triangles_bvh_compact(o, d, alive, t_init, cl.aabb,
-                                           cl.table_t, cap=cap, **kw)
+                                           cl.table_t, cap=cap,
+                                           sort_key=sort_key, **kw)
     # parity is modulo the alive mask: the dense kernel lets dead rays
     # report coincidental hits (they ride along in MT lanes of blocks
     # their live neighbors open), the compact path reports misses; both
@@ -763,6 +765,42 @@ def test_compact_wrapper_matches_dense(with_attrs, scenario):
         # losers carry the documented miss fill (zeros) on the compact
         # path; the dense kernel also leaves them at scratch zero
         assert not np.isnan(np.asarray(comp[2])).any()
+
+
+def test_compact_sort_key_policy(monkeypatch):
+    """Auto sort-key is "super" in every regime (measured better on both
+    the VMEM-resident and HBM-streamed benches — see _resolve_sort_key);
+    explicit arg and env keep "morton" available for sweeps; "super"
+    fallback when bucket bits run out."""
+    from simple_raytracer_tpu.ops.pallas.bvh_kernel import (
+        _resolve_sort_key)
+    monkeypatch.delenv("SRT_BVH_COMPACT_KEY", raising=False)
+    args = dict(aabb=None, table_t=None, table_tr=None, hbm_table=None,
+                packed_vmem=None)
+    assert _resolve_sort_key(None, bucket_bits=10, **args) == "super"
+    assert _resolve_sort_key("morton", bucket_bits=10, **args) == "morton"
+    monkeypatch.setenv("SRT_BVH_COMPACT_KEY", "morton")
+    assert _resolve_sort_key("super", bucket_bits=10, **args) == "morton"
+    monkeypatch.setenv("SRT_BVH_COMPACT_KEY", "auto")
+    assert _resolve_sort_key("morton", bucket_bits=10, **args) == "super"
+    monkeypatch.setenv("SRT_BVH_COMPACT_KEY", "bogus")
+    with pytest.raises(ValueError):
+        _resolve_sort_key(None, bucket_bits=10, **args)
+    # too few bucket bits: a 3-bit Morton cell cannot beat the supers
+    monkeypatch.delenv("SRT_BVH_COMPACT_KEY", raising=False)
+    assert _resolve_sort_key("morton", bucket_bits=5, **args) == "super"
+
+
+def test_dma_slots_policy(monkeypatch):
+    from simple_raytracer_tpu.ops.pallas.bvh_kernel import (
+        _resolve_dma_slots)
+    monkeypatch.delenv("SRT_BVH_DMA_SLOTS", raising=False)
+    assert _resolve_dma_slots() == 8
+    monkeypatch.setenv("SRT_BVH_DMA_SLOTS", "4")
+    assert _resolve_dma_slots() == 4
+    monkeypatch.setenv("SRT_BVH_DMA_SLOTS", "1")
+    with pytest.raises(ValueError):
+        _resolve_dma_slots()
 
 
 def test_compact_cap_auto_policy():
