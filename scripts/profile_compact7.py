@@ -174,6 +174,10 @@ def ablation_matrix(cl, oc, dc, ac, tc):
 
     run("full slots=8")
     run("full slots=2", slots=2)
+    # all-ones words, MT still on: what the word GATING saves in MT —
+    # if this is close to full, the 28 ms re-slab can move to list-build
+    # time (or go entirely) without inflating MT
+    run("subword only (MT ungated)", "subword")
     run("no_mt", no_mt=True)
     run("no_mt+no_tr", no_mt=True, no_tr=True)
     run("no_mt+no_tr+subword", "subword", no_mt=True, no_tr=True)

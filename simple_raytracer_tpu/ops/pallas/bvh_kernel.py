@@ -1598,6 +1598,25 @@ def compact_cap_auto(n_rays: int, block_r: int = 1536) -> Optional[int]:
     return max(blocks, 16) * block_r
 
 
+def table_streams_hbm(clusters) -> bool:
+    """True when intersect_triangles_bvh's auto residency would STREAM
+    this cluster table from HBM (per-visit DMA) rather than hold it
+    VMEM-resident (row or packed form) — the regime where even coherent
+    camera rays pay per-visit copy costs, which flips the bounce-0
+    compaction policy in trace_rays (config 7's camera rays admit ~3%
+    of the grid, so the compacted kernel touches ~5% of the rays the
+    dense peel would)."""
+    if clusters is None:
+        return False
+    if clusters.table_t.shape[0] <= VMEM_TABLE_MAX_SLOTS:
+        return False
+    if clusters.table_tr is None:
+        return True
+    packets = clusters.table_tr.shape[1] // _TROWS
+    return (clusters.table_tr.shape[0] * packets
+            > PACKED_VMEM_MAX_CLUSTERS)
+
+
 def _resolve_dma_slots() -> int:
     """Depth of the HBM streaming kernel's DMA pipeline (number of
     in-flight cluster-tile copies).  Default 8: the per-visit cost of

@@ -224,7 +224,22 @@ def trace_rays(scene: DeviceScene, o: Vec3, d: Vec3, seed: jnp.ndarray,
     # and default to ray compaction (closest_hit compact="auto"; the
     # SRT_BVH_COMPACT env knob still overrides BOTH regimes for sweeps).
     # Together: config 6 84.4->76 ms class, see TODO.md Performance.
-    carry, _ = body(carry, jnp.int32(0), compact=None)
+    # EXCEPTION (round 5): when the triangle table STREAMS from HBM the
+    # cost model flips — the dense peel pays a full-grid prepass (22 ms
+    # at 1080p on the 1.31M-tri config 7) plus per-visit DMA for every
+    # pixel-tile block that grazes the mesh, while camera-ray admission
+    # is tiny (~3%), so the compacted kernel touches ~5% of the rays.
+    # VMEM-resident tables (config 6) keep the dense peel.
+    b0_compact = None
+    if tri_backend in ("auto", "bvh", "clustered"):
+        from .intersect import _tri_backend_auto
+        from .pallas.bvh_kernel import table_streams_hbm
+        resolved = (_tri_backend_auto(scene) if tri_backend == "auto"
+                    else tri_backend)
+        if resolved in ("bvh", "clustered") and table_streams_hbm(
+                scene.triangles.clusters):
+            b0_compact = "auto"
+    carry, _ = body(carry, jnp.int32(0), compact=b0_compact)
     if effective_bounces > 1:
         carry, _ = jax.lax.scan(functools.partial(body, compact="auto"),
                                 carry, jnp.arange(1, effective_bounces))

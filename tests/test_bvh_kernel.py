@@ -791,6 +791,29 @@ def test_compact_sort_key_policy(monkeypatch):
     assert _resolve_sort_key("morton", bucket_bits=5, **args) == "super"
 
 
+def test_table_streams_hbm_policy():
+    """The bounce-0 compaction flip (trace_rays) keys on the SAME
+    residency resolution intersect_triangles_bvh uses: stream iff the
+    row table exceeds VMEM residence AND the packed form exceeds the
+    packed-VMEM budget."""
+    import types
+    import jax.numpy as jnp
+    from simple_raytracer_tpu.ops.pallas.bvh_kernel import (
+        table_streams_hbm, _TROWS, VMEM_TABLE_MAX_SLOTS,
+        PACKED_VMEM_MAX_CLUSTERS)
+    mk = lambda slots, tr_clusters: types.SimpleNamespace(
+        table_t=jnp.zeros((slots, 128), jnp.float32),
+        table_tr=(None if tr_clusters is None else
+                  jnp.zeros((tr_clusters, _TROWS, 128), jnp.float32)))
+    assert not table_streams_hbm(None)
+    assert not table_streams_hbm(mk(VMEM_TABLE_MAX_SLOTS, None))
+    assert table_streams_hbm(mk(VMEM_TABLE_MAX_SLOTS * 4, None))
+    assert not table_streams_hbm(
+        mk(VMEM_TABLE_MAX_SLOTS * 4, PACKED_VMEM_MAX_CLUSTERS))
+    assert table_streams_hbm(
+        mk(VMEM_TABLE_MAX_SLOTS * 4, PACKED_VMEM_MAX_CLUSTERS + 1))
+
+
 def test_dma_slots_policy(monkeypatch):
     from simple_raytracer_tpu.ops.pallas.bvh_kernel import (
         _resolve_dma_slots)
