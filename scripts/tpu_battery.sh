@@ -11,6 +11,9 @@
 #   1. bench.py                 -> $RES/bench.json   (per-config subprocesses)
 #   2. scripts/gen_perf_table.py   rewrites README.md's perf table in-place
 #   3. scripts/sweep_config6.py -> $RES/sweep6.log   (large-mesh path A/B)
+#   3b. scripts/plucker_tpu_check.py -> $RES/plucker.log (compiled MXU
+#       Pluecker parity — the interpret-mode suite never exercises the
+#       six-pass bf16 decomposition on real hardware)
 #   4. scripts/ttff.py          -> $RES/ttff.json    (time-to-first-frame)
 #   5. scripts/parity_rmse.py   -> $RES/parity.md    (oracle RMSE rows)
 RES=${RES:-/tmp/tpu_results}
@@ -34,6 +37,7 @@ run() {
 }
 run 10800 bench    python bench.py                  > "$RES/bench.json" 2> "$RES/bench.err"
 run 9000 perftable python scripts/gen_perf_table.py > "$RES/perf_table.log" 2>&1
+run 3600 plucker   python scripts/plucker_tpu_check.py > "$RES/plucker.log" 2>&1
 run 9000 sweep6    python scripts/sweep_config6.py 8 > "$RES/sweep6.log" 2>&1
 run 3600 ttff      python scripts/ttff.py           > "$RES/ttff.json" 2>&1
 run 3600 sky       python scripts/profile_sky.py    > "$RES/sky.log" 2>&1
