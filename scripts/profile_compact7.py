@@ -36,11 +36,19 @@ W, H = 1920, 1080
 
 
 def chain_time(f, *args, iters=ITERS):
+    # warm + flip the axon tunnel into honest mode with a REAL d2h
+    # readback (block_until_ready alone can return without waiting —
+    # scripts/bench_gather.py documents the trap; observed again
+    # 2026-08-21: a 120 ms kernel "timed" 0.83 ms in a process that had
+    # already done scalar readbacks, so the final wait below is also a
+    # full readback — the device executes dispatches in-order, so
+    # reading the last result back bounds every iteration)
     r = jax.block_until_ready(f(*args))
+    np.asarray(jax.tree_util.tree_leaves(r)[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         r = f(*args)
-    jax.block_until_ready(r)
+    np.asarray(jax.tree_util.tree_leaves(r)[0])
     return (time.perf_counter() - t0) / iters
 
 
