@@ -12,6 +12,11 @@ of the reduced grids rounds 1-2 used.
 Writes the RMSE table to stdout (markdown) for PARITY.md.
 
 Usage: python scripts/parity_rmse.py [--steps N] [--quick]
+       python scripts/parity_rmse.py ours.png reference.ppm
+
+The two-path form is the docs/AB_PARITY.md step-6 comparator (used by
+scripts/run_opencl_ab.sh): RMSE over u8 RGB between any two same-size
+PNG/PPM images plus the fraction of pixels off by more than 1/255.
 """
 import argparse
 import sys
@@ -76,13 +81,48 @@ def run_scene(name, builder, width, height, steps, samples=2, bounces=10):
             "nonfinite_masks_equal": bool((dev_bad == orc_bad).all())}
 
 
+def _load_u8(path: str) -> np.ndarray:
+    """PNG (via PIL) or binary P6 PPM -> (H, W, 3) u8."""
+    if path.lower().endswith(".ppm"):
+        from simple_raytracer_tpu.io.image import load_ppm
+        return np.asarray(load_ppm(path))
+    from PIL import Image
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def compare_images(path_a: str, path_b: str) -> dict:
+    """docs/AB_PARITY.md step 6: u8 RMSE between two converged renders
+    (ours vs the OpenCL reference's screenshot).  Monte-Carlo noise from
+    the two independent sample streams sets the floor; structural error
+    shows up as RMSE that does not anneal with convergence time."""
+    a, b = _load_u8(path_a), _load_u8(path_b)
+    if a.shape != b.shape:
+        raise SystemExit(f"size mismatch: {a.shape} vs {b.shape}")
+    d = a.astype(np.float64) - b.astype(np.float64)
+    return {"a": path_a, "b": path_b, "res": f"{a.shape[1]}x{a.shape[0]}",
+            "rmse_u8": float(np.sqrt(np.mean(d ** 2))),
+            "pixels_off_by_gt1": float(np.mean(
+                np.any(np.abs(d) > 1, axis=-1)))}
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("images", nargs="*",
+                    help="two image paths (PNG/PPM) for a direct A/B")
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None,
                     help="run only the jobs for this scene name")
     args = ap.parse_args()
+    if args.images:
+        if len(args.images) != 2:
+            ap.error("expected exactly two image paths")
+        import json
+        r = compare_images(*args.images)
+        print(f"RMSE (u8 RGB): {r['rmse_u8']:.4f}   pixels off by "
+              f">1/255: {r['pixels_off_by_gt1']:.2%}   ({r['res']})")
+        print(json.dumps(r))
+        return
 
     from simple_raytracer_tpu.models.showcase import (showcase_model,
                                                       showcase_red_green,
