@@ -387,3 +387,39 @@ def test_hdr_corrupt_rle_raises_value_error(tmp_path):
     p2.write_bytes(head + magic + bytes([0]) + bytes(w * 8))
     with pytest.raises(ValueError, match="count 0"):
         load_hdr(p2)
+
+
+def test_compare_images_ab_metric(tmp_path):
+    """scripts/parity_rmse.py's two-path mode — the docs/AB_PARITY.md
+    step-6 comparator run_opencl_ab.sh ends with: u8 RMSE + >1/255
+    fraction between a PNG and a PPM, format-agnostic per slot."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
+    from parity_rmse import compare_images
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 255, (6, 8, 3), dtype=np.uint8)
+    b = a.copy()
+    b[0, 0, 0] += 10          # one channel off by 10
+    b[3, 4] = b[3, 4] + 1     # one pixel off by exactly 1 (not > 1)
+
+    from PIL import Image
+    pa = tmp_path / "a.png"
+    Image.fromarray(a).save(pa)
+    pb = tmp_path / "b.ppm"
+    save_ppm(pb, b)
+
+    r = compare_images(str(pa), str(pb))
+    exp_rmse = float(np.sqrt(np.mean((a.astype(np.float64) - b) ** 2)))
+    assert abs(r["rmse_u8"] - exp_rmse) < 1e-12
+    assert r["pixels_off_by_gt1"] == pytest.approx(1 / 48)
+    assert r["res"] == "8x6"
+
+    # size mismatch is a clean error, not a broadcast surprise
+    pc = tmp_path / "c.png"
+    Image.fromarray(a[:4]).save(pc)
+    with pytest.raises(SystemExit, match="size mismatch"):
+        compare_images(str(pa), str(pc))
